@@ -1,0 +1,53 @@
+"""Runtime configuration (the reference's sr_param, bs_call.h:295-332)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from bs_call_tpu import constants as C
+
+
+@dataclass
+class CallerConfig:
+    input_file: Optional[str] = None
+    reference_file: Optional[str] = None
+    output_file: Optional[str] = None
+    sample_name: Optional[str] = None
+    dbsnp_file: Optional[str] = None
+    report_file: Optional[str] = None
+    contig_bed: Optional[str] = None
+    contig_sizes: Optional[str] = None
+
+    keep_duplicates: bool = False
+    ignore_duplicates: bool = False
+    keep_unmatched: bool = False
+    haploid: bool = False          # accepted for CLI parity; unused upstream too
+    blank_trim: bool = False       # accepted for CLI parity; unused upstream too
+    all_positions: bool = False
+    benchmark_mode: bool = False
+    out_file_type: int = C.FT_UNKN
+
+    left_trim: Tuple[int, int] = (0, 0)
+    right_trim: Tuple[int, int] = (0, 0)
+    mapq_thresh: int = C.DEFAULT_MAPQ_THRESH
+    min_qual: int = C.MIN_QUAL
+    max_template_len: int = C.DEFAULT_MAX_TEMPLATE_LEN
+    under_conv: float = C.DEFAULT_UNDER_CONVERSION
+    over_conv: float = C.DEFAULT_OVER_CONVERSION
+    ref_bias: float = C.DEFAULT_REF_BIAS
+
+    # engine knobs (new in the TPU framework)
+    device: str = "auto"           # "auto" | "tpu" | "cpu" | "numpy"
+    exact: bool = True             # run the float64 libm rescue pass
+    reference_quirks: bool = True  # reproduce benign reference bugs for parity
+    batch_positions: int = 1 << 16 # device batch size (padded)
+
+    def sanitize(self):
+        mq = self.min_qual
+        if mq < 1:
+            mq = 1
+        elif mq > C.MAX_QUAL:
+            mq = C.MAX_QUAL
+        self.min_qual = mq
+        return self

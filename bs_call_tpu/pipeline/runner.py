@@ -1,0 +1,116 @@
+"""End-to-end calling pipeline orchestration.
+
+The streaming shape mirrors the reference's thread pipeline (process.c) but
+as a simple generator chain: record stream -> block builder -> template
+normalization -> pileup tensors -> device genotype batch -> site emitter.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+import numpy as np
+
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.fasta import FastaIndex, sequence_window
+from bs_call_tpu.io.sam import open_alignment_file
+from bs_call_tpu.output.site import SiteEmitter
+from bs_call_tpu.output.vcf_writer import VcfTextWriter, build_header_lines
+from bs_call_tpu.pipeline.blocks import read_blocks
+from bs_call_tpu.pipeline.contigs import reconcile_contigs
+from bs_call_tpu.pipeline.engine import CallEngine
+from bs_call_tpu.ops.pileup import build_pileup
+from bs_call_tpu.pipeline.template import process_template
+from bs_call_tpu.stats.meth_profile import meth_profile
+
+
+def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
+    """Run the full pipeline. Returns (stats, contig_table)."""
+    cfg.sanitize()
+    reader = open_alignment_file(cfg.input_file)
+    fasta = FastaIndex(cfg.reference_file)
+    table = reconcile_contigs(
+        fasta,
+        reader.header,
+        cfg.contig_bed,
+        cfg.contig_sizes,
+        make_stats=stats is not None,
+    )
+    if dbsnp is None and cfg.dbsnp_file:
+        from bs_call_tpu.io.dbsnp import DbSnpIndex
+
+        dbsnp = DbSnpIndex(cfg.dbsnp_file)
+
+    close_out = False
+    if out_fileobj is None:
+        if cfg.output_file:
+            out_fileobj = open(cfg.output_file, "wb")
+            close_out = True
+        else:
+            out_fileobj = sys.stdout.buffer
+    writer = VcfTextWriter(out_fileobj, table)
+    # header must be written before records; vcf_rid assignment happens here
+    hdr_lines = build_header_lines(
+        cfg,
+        table,
+        reader.header.text,
+        dbsnp.header_line if dbsnp is not None else None,
+    )
+    writer.write_header(hdr_lines)
+    emitter = SiteEmitter(
+        cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
+    )
+    engine = CallEngine(cfg)
+    process_contig_blocks(
+        cfg, reader, table, fasta, engine, emitter, stats
+    )
+    emitter.flush()
+    writer.close()
+    if close_out:
+        out_fileobj.close()
+    return stats, table
+
+
+def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):
+    """Iterate blocks, normalize templates, call genotypes, emit sites."""
+    contig_seq = None  # loaded lazily per contig
+    for block in read_blocks(iter(reader), table, cfg, stats=stats):
+        ctg = block.ctg
+        if contig_seq is None or contig_seq.name != ctg.name:
+            contig_seq = fasta.load_contig(
+                ctg.name, calc_gc=stats is not None
+            )
+            ctg.gc_start_pos = contig_seq.start_pos
+            if ctg.ctg_stats is not None:
+                ctg.ctg_stats.gc = contig_seq.gc_bins
+        y = block.y
+        first = block.align_list[0]
+        x = first.forward_position or first.reverse_position
+        assert 0 < x <= y
+        x = x - 2 if x > 2 else 1
+        sz = y - x + 1
+        ref_window = sequence_window(contig_seq, x, sz + 2)
+        max_pos_all = 0
+        for al in block.align_list:
+            orig_pos, max_pos = process_template(
+                al,
+                cfg.left_trim,
+                cfg.right_trim,
+                stats=stats,
+                min_qual=cfg.min_qual,
+            )
+            if stats is not None:
+                meth_profile(al, x, orig_pos, max_pos, ref_window, stats)
+            max_pos_all = max(max_pos_all, max_pos)
+        counts2, qual_sum, mapq2_sum = build_pileup(
+            block.align_list, x, y, cfg.min_qual
+        )
+        calls = engine.call_block(
+            counts2, qual_sum, mapq2_sum, ref_window[:sz]
+        )
+        for i, call in enumerate(calls):
+            emitter.push(
+                ctg, call, ref_window, x + i, x, skip=call is None
+            )
+        emitter.flush()
