@@ -1,0 +1,167 @@
+"""bs_call-compatible command line interface.
+
+Flag set mirrors bs_call_options.h:6-38; engine-specific flags are added
+under their long names only.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from bs_call_tpu import constants as C
+from bs_call_tpu.config import CallerConfig
+
+
+def _pair(s: str):
+    parts = s.split(",")
+    if len(parts) == 1:
+        v = int(parts[0])
+        return (v, v)
+    return (int(parts[0]), int(parts[1]))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="bs_call",
+        description="TPU-native bisulfite variant + methylation caller "
+        "(bs_call v%s capability parity)" % C.VERSION,
+    )
+    p.add_argument("input_file", nargs="?", help="SAM/BAM input (sorted)")
+    # Operations
+    p.add_argument("-1", "--haploid", action="store_true")
+    p.add_argument("-d", "--keep-duplicates", action="store_true")
+    p.add_argument("--ignore-duplicates", action="store_true")
+    p.add_argument("-k", "--keep-unmatched", action="store_true")
+    p.add_argument("-R", "--right-trim", type=_pair, default=(0, 0))
+    p.add_argument("-L", "--left-trim", type=_pair, default=(0, 0))
+    p.add_argument("-B", "--blank-trim", action="store_true")
+    p.add_argument(
+        "-q", "--mapq-threshold", type=int, default=C.DEFAULT_MAPQ_THRESH
+    )
+    p.add_argument("-Q", "--bq-threshold", type=int, default=C.MIN_QUAL)
+    p.add_argument(
+        "-l",
+        "--max-template-length",
+        type=int,
+        default=C.DEFAULT_MAX_TEMPLATE_LEN,
+    )
+    # I/O
+    p.add_argument("-O", "--output-type", choices=list("buzv"), default=None)
+    p.add_argument("--report-file", default=None)
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-n", "--sample", default=None)
+    p.add_argument("-r", "--reference", default=None)
+    p.add_argument("-C", "--contig-bed", default=None)
+    p.add_argument("-s", "--contig-sizes", default=None)
+    p.add_argument("-D", "--dbsnp", default=None)
+    p.add_argument("-A", "--all-positions", action="store_true")
+    p.add_argument("--benchmark-mode", action="store_true")
+    # Model
+    p.add_argument("-c", "--conversion", default=None)
+    p.add_argument(
+        "--reference-bias", type=float, default=C.DEFAULT_REF_BIAS
+    )
+    # Misc
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-t", "--threads", default=None)
+    # Engine
+    p.add_argument(
+        "--device",
+        choices=["auto", "tpu", "cpu", "numpy"],
+        default="auto",
+        help="compute backend for the genotype kernel",
+    )
+    p.add_argument(
+        "--no-exact",
+        action="store_true",
+        help="skip the float64 rescue pass (fastest, float32 only)",
+    )
+    return p
+
+
+def args_to_config(args) -> CallerConfig:
+    cfg = CallerConfig(
+        input_file=args.input_file,
+        reference_file=args.reference,
+        output_file=args.output,
+        sample_name=args.sample,
+        dbsnp_file=args.dbsnp,
+        report_file=args.report_file,
+        contig_bed=args.contig_bed,
+        contig_sizes=args.contig_sizes,
+        keep_duplicates=args.keep_duplicates,
+        ignore_duplicates=args.ignore_duplicates,
+        keep_unmatched=args.keep_unmatched,
+        haploid=args.haploid,
+        blank_trim=args.blank_trim,
+        all_positions=args.all_positions,
+        benchmark_mode=args.benchmark_mode,
+        left_trim=args.left_trim,
+        right_trim=args.right_trim,
+        mapq_thresh=args.mapq_threshold,
+        min_qual=args.bq_threshold,
+        max_template_len=args.max_template_length,
+        ref_bias=args.reference_bias,
+        device=args.device,
+        exact=not args.no_exact,
+    )
+    if args.conversion:
+        parts = args.conversion.split(",")
+        if len(parts) != 2:
+            raise SystemExit(
+                "conversion option requires two comma separated values"
+            )
+        uc, oc = float(parts[0]), float(parts[1])
+        if not (0.0 <= uc <= 1.0):
+            uc = C.DEFAULT_UNDER_CONVERSION
+        if not (0.0 <= oc <= 1.0):
+            oc = C.DEFAULT_OVER_CONVERSION
+        cfg.under_conv = uc
+        cfg.over_conv = oc
+    # output type: explicit flag, else guess from the file name
+    # (parse_args.c:174-190)
+    ft_map = {"v": C.FT_VCF, "z": C.FT_VCF_GZ, "u": C.FT_BCF, "b": C.FT_BCF_GZ}
+    if args.output_type:
+        cfg.out_file_type = ft_map[args.output_type]
+    else:
+        cfg.out_file_type = C.FT_VCF
+        if cfg.output_file:
+            name = cfg.output_file
+            if name.endswith(".vcf.gz"):
+                cfg.out_file_type = C.FT_VCF_GZ
+            elif name.endswith(".bcf"):
+                cfg.out_file_type = C.FT_BCF_GZ
+    return cfg.sanitize()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if not args.reference:
+        print(
+            "Error in bs_call: a sequence archive is mandatory",
+            file=sys.stderr,
+        )
+        return 1
+    if not args.input_file:
+        print("Error: reading from stdin is not supported yet", file=sys.stderr)
+        return 1
+    cfg = args_to_config(args)
+    stats = None
+    if cfg.report_file:
+        from bs_call_tpu.stats.collect import BsStats
+
+        stats = BsStats()
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    stats, table = run_caller(cfg, stats=stats)
+    if cfg.report_file and stats is not None:
+        from bs_call_tpu.stats.report import write_report
+
+        with open(cfg.report_file, "w") as f:
+            write_report(f, cfg, stats, table)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -121,16 +121,18 @@ def fmt_float(v: float) -> str:
 class VcfTextWriter:
     def __init__(self, fileobj, table):
         self._f = fileobj
-        self._names = {}
-        for ctg in table.contigs:
-            self._names[ctg.vcf_rid] = ctg.name
-        self._ctg_by_obj = table
+        self._table = table
+        self._names = None  # built lazily; vcf_rid assigned at header time
 
     def write_header(self, lines: List[str]):
         for line in lines:
             self._f.write((line + "\n").encode())
 
     def write_site(self, s: VcfSite):
+        if self._names is None:
+            self._names = {
+                c.vcf_rid: c.name for c in self._table.contigs
+            }
         gt = "/".join(str((v >> 1) - 1) for v in s.gt_ints)
         fmt = "GT:FT:DP:MQ:GQ:QD:GL:MC8"
         vals = [
