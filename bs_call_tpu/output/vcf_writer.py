@@ -169,4 +169,9 @@ class VcfTextWriter:
         self._f.write(("\t".join(cols) + "\n").encode())
 
     def close(self):
-        self._f.flush()
+        from bs_call_tpu.io.bgzf import BgzfWriter
+
+        if isinstance(self._f, BgzfWriter):
+            self._f.close()  # writes the BGZF EOF block
+        else:
+            self._f.flush()

@@ -49,15 +49,27 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
             close_out = True
         else:
             out_fileobj = sys.stdout.buffer
-    writer = VcfTextWriter(out_fileobj, table)
-    # header must be written before records; vcf_rid assignment happens here
+    # header lines must be built first: vcf_rid assignment happens here
     hdr_lines = build_header_lines(
         cfg,
         table,
         reader.header.text,
         dbsnp.header_line if dbsnp is not None else None,
     )
-    writer.write_header(hdr_lines)
+    from bs_call_tpu import constants as C
+
+    if cfg.out_file_type in (C.FT_BCF, C.FT_BCF_GZ):
+        from bs_call_tpu.io.bcf import BcfWriter
+
+        writer = BcfWriter(out_fileobj, hdr_lines)
+    elif cfg.out_file_type == C.FT_VCF_GZ:
+        from bs_call_tpu.io.bgzf import BgzfWriter
+
+        writer = VcfTextWriter(BgzfWriter(out_fileobj), table)
+        writer.write_header(hdr_lines)
+    else:
+        writer = VcfTextWriter(out_fileobj, table)
+        writer.write_header(hdr_lines)
     emitter = SiteEmitter(
         cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
     )
