@@ -1,0 +1,175 @@
+"""dbSNP index build + read round-trip and e2e annotation."""
+
+import io
+
+import numpy as np
+
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.bam import BamHeader, BamWriter
+from bs_call_tpu.io.dbsnp import DbSnpIndex
+from bs_call_tpu.io.dbsnp_idx import DbSnpIndexBuilder
+from bs_call_tpu.pipeline.runner import run_caller
+
+SEQ = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+
+
+def test_roundtrip_bed(tmp_path):
+    b = DbSnpIndexBuilder(header="track name=test")
+    # BED convention: pos = end coordinate (1-based position)
+    b.add_snp("chr1", 14, "rs123")
+    b.add_snp("chr1", 100, "rs4567")
+    b.add_snp("chr1", 101, "rs89")
+    b.add_snp("chr2", 7, "ss42")
+    p = tmp_path / "idx.bin"
+    b.write(str(p))
+    idx = DbSnpIndex(str(p))
+    assert idx.header_line == "name=test"
+    assert set(idx.contigs) == {"chr1", "chr2"}
+    c1 = idx.load_contig("chr1")
+    assert c1.lookup(14) == (1, "rs123")
+    assert c1.lookup(100) == (1, "rs4567")
+    assert c1.lookup(101) == (1, "rs89")
+    assert c1.lookup(15) == (0, "")
+    assert c1.lookup(6400) == (0, "")
+    c2 = idx.load_contig("chr2")
+    assert c2.lookup(7) == (1, "ss42")
+
+
+def test_roundtrip_odd_digits_and_selection(tmp_path):
+    b = DbSnpIndexBuilder(maf_limit=0.1)
+    b.add_snp("chr1", 5, "rs1", maf=0.3)   # selected
+    b.add_snp("chr1", 9, "rs22", maf=0.05)  # not selected
+    p = tmp_path / "idx.bin"
+    b.write(str(p))
+    idx = DbSnpIndex(str(p))
+    c = idx.load_contig("chr1")
+    assert c.lookup(5) == (3, "rs1")   # maf-selected -> res 3
+    assert c.lookup(9) == (1, "rs22")
+
+
+def test_select_list_and_aliases(tmp_path):
+    b = DbSnpIndexBuilder(
+        select_names=["rs7"], aliases={"NC_1": "chr1"}
+    )
+    b.add_snp("NC_1", 5, "rs7")
+    b.add_snp("unknown_ctg", 9, "rs8")  # dropped (no alias)
+    p = tmp_path / "idx.bin"
+    b.write(str(p))
+    idx = DbSnpIndex(str(p))
+    assert list(idx.contigs) == ["chr1"]
+    c = idx.load_contig("chr1")
+    assert c.lookup(5) == (3, "rs7")
+
+
+def test_bed_vcf_json_parsing(tmp_path):
+    b = DbSnpIndexBuilder()
+    b.read_stream(
+        io.StringIO(
+            "track name=dbSNP153\n"
+            "chr1\t13\t14\trs100\t0\n"
+            "chr1\t20\t22\trs_bad\t0\n"  # not a SNP (len 2)
+        )
+    )
+    assert b.n_snps == 1
+    b2 = DbSnpIndexBuilder()
+    b2.read_stream(
+        io.StringIO(
+            "##fileformat=VCFv4.0\n"
+            "#CHROM\tPOS\tID\tREF\tALT\n"
+            "chr1\t14\trs100\tC\tT\n"
+            "chr1\t15\trs101\tCT\tT\n"  # indel: skipped
+        )
+    )
+    assert b2.n_snps == 1
+    import json as _json
+
+    rec = {
+        "refsnp_id": "999",
+        "primary_snapshot_data": {
+            "placements_with_allele": [
+                {
+                    "is_ptlp": True,
+                    "alleles": [
+                        {
+                            "allele": {
+                                "spdi": {
+                                    "seq_id": "chr1",
+                                    "position": 13,
+                                    "deleted_sequence": "C",
+                                    "inserted_sequence": "T",
+                                }
+                            }
+                        }
+                    ],
+                }
+            ],
+            "allele_annotations": [
+                {
+                    "frequency": [
+                        {
+                            "study_name": "X",
+                            "allele_count": 30,
+                            "total_count": 100,
+                            "observation": {
+                                "deleted_sequence": "C",
+                                "inserted_sequence": "T",
+                            },
+                        }
+                    ]
+                }
+            ],
+        },
+    }
+    b3 = DbSnpIndexBuilder(maf_limit=0.2)
+    b3.read_stream(io.StringIO(_json.dumps(rec) + "\n"))
+    assert b3.n_snps == 1
+    p = tmp_path / "j.bin"
+    b3.write(str(p))
+    c = DbSnpIndex(str(p)).load_contig("chr1")
+    assert c.lookup(13) == (3, "rs999")  # maf 0.3 >= 0.2 -> selected
+
+
+def test_e2e_annotation(tmp_path):
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\n" + SEQ + "\n")
+    bam = tmp_path / "in.bam"
+    hdr = BamHeader(
+        text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:40\n",
+        ref_names=["chr1"],
+        ref_lens=[40],
+    )
+    w = BamWriter(str(bam), hdr)
+    for n, pos in enumerate(range(0, 28)):
+        w.write(
+            f"r{n}", 0, 0, pos, 60, [(12, 0)], -1, -1, 0,
+            SEQ[pos : pos + 12], np.full(12, 40, np.uint8),
+        )
+    w.close()
+    b = DbSnpIndexBuilder(maf_limit=0.1)
+    b.add_snp("chr1", 14, "rs14")       # a C site
+    b.add_snp("chr1", 17, "rs17sel", maf=0.4)  # an A site, maf-selected
+    idxp = tmp_path / "dbsnp.bin"
+    b.write(str(idxp))
+    cfg = CallerConfig(
+        input_file=str(bam),
+        reference_file=str(ref),
+        dbsnp_file=str(idxp),
+        benchmark_mode=True,
+    )
+    out = io.BytesIO()
+    from bs_call_tpu.stats.collect import BsStats
+
+    stats = BsStats()
+    run_caller(cfg, out_fileobj=out, stats=stats)
+    sites = {}
+    for line in out.getvalue().decode().splitlines():
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        sites[int(f[1])] = f
+    assert sites[14][2] == "rs14"
+    # maf-selected site forces emission of an AA hom-ref position
+    # (print_vcf.c:139, rs_found & 2)
+    assert 17 in sites and sites[17][2] == "rs17sel"
+    assert 13 not in sites  # plain A site still skipped
+    assert stats.dbSNP_sites[0] == 2
