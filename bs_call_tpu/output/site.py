@@ -297,7 +297,15 @@ class SiteEmitter:
         qd = phred // dp1 if dp1 > 0 else phred
         flt = 0
         if not skip:
-            if ctg.curr_reg is not None:
+            regions = getattr(ctg, "regions", None)
+            if regions:
+                # site must fall inside one of the contig's -C regions.
+                # (The reference checks only curr_reg, which it never
+                # advances past a contig's first region — sites in later
+                # regions of the same contig are silently dropped; we treat
+                # all requested regions as callable.)
+                skip = not any(r.start <= x <= r.stop for r in regions)
+            elif ctg.curr_reg is not None:
                 skip = x < ctg.curr_reg.start or x > ctg.curr_reg.stop
             else:
                 skip = x > ctg.seq_len

@@ -35,12 +35,45 @@ class Block:
     align_list: List[AlignDetails]
     ctg: object  # Contig
     y: int       # max_pos (one past the rightmost covered position)
+    region: object = None  # Region the block's reads belong to (or None)
+
+
+def region_filtered_records(records, table: ContigTable):
+    """Restrict a sorted record stream to the -C regions (linear-scan
+    equivalent of the reference's indexed region iteration,
+    get_template_vector.c:69-101). Each record is assigned to the first
+    region of its contig it overlaps; the contig's curr_reg is updated so
+    the emitter's in-region check (print_vcf.c:156) applies. A record
+    spanning two regions is returned once (the reference's two iterators
+    would return it twice)."""
+    regions_by_tid = {}
+    for reg in table.regions:
+        regions_by_tid.setdefault(reg.ctg.bam_tid, []).append(reg)
+    for regs in regions_by_tid.values():
+        regs.sort(key=lambda r: r.start)
+    for rec in records:
+        regs = regions_by_tid.get(rec.tid)
+        if regs is None:
+            continue
+        start = rec.pos + 1
+        end = rec.pos + sum(
+            ln for ln, op in rec.cigar if op in (0, 2, 3, 7, 8)
+        )
+        if not rec.cigar:
+            end = start
+        for reg in regs:
+            if start <= reg.stop and end >= reg.start:
+                rec.region = reg
+                yield rec
+                break
 
 
 def read_blocks(
     records, table: ContigTable, cfg: CallerConfig, stats=None
 ) -> Iterator[Block]:
     """Generator over pileup blocks from a sorted record iterator."""
+    if table.regions:
+        records = region_filtered_records(records, table)
     align_list: List[AlignDetails] = []
     al_hash_list: List[Optional[HashEntry]] = []
     hash_base: Dict[str, HashEntry] = {}
@@ -51,6 +84,7 @@ def read_blocks(
     start_pos = 0
     curr_pos = 0
     start_idx = 0
+    block_region = None  # region of the first record in the current block
 
     def flush(tid: int) -> Optional[Block]:
         nonlocal align_list, al_hash_list
@@ -58,7 +92,12 @@ def read_blocks(
         if align_list:
             k = table.tid2id.get(tid, -1)
             assert k >= 0
-            blk = Block(align_list=align_list, ctg=table.contigs[k], y=max_pos)
+            blk = Block(
+                align_list=align_list,
+                ctg=table.contigs[k],
+                y=max_pos,
+                region=block_region,
+            )
             align_list = []
             al_hash_list = []
             return blk
@@ -93,7 +132,7 @@ def read_blocks(
             k = table.tid2id.get(curr_tid, -1)
             if k < 0:
                 chr_skip = True
-            else:
+            elif not table.regions:
                 table.contigs[k].curr_reg = None
 
         insert = True
@@ -137,6 +176,8 @@ def read_blocks(
         if chr_skip:
             continue
 
+        if not align_list:
+            block_region = getattr(rec, "region", None)
         # update block extent
         if reverse:
             ml = al.reverse_position + al.reference_span[1]

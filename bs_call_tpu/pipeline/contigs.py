@@ -32,6 +32,7 @@ class Contig:
     seq_len: int = 0
     curr_reg: Optional[Region] = None
     ctg_stats: Optional[object] = None
+    regions: List["Region"] = field(default_factory=list)
 
 
 @dataclass
@@ -146,5 +147,7 @@ def reconcile_contigs(
         table.contigs.append(c)
         table.by_name[name] = c
         for x, y in coords.get(name, []):
-            table.regions.append(Region(ctg=c, start=x, stop=y))
+            reg = Region(ctg=c, start=x, stop=y)
+            table.regions.append(reg)
+            c.regions.append(reg)
     return table

@@ -89,6 +89,7 @@ def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):
     contig_seq = None  # loaded lazily per contig
     for block in read_blocks(iter(reader), table, cfg, stats=stats):
         ctg = block.ctg
+        ctg.curr_reg = block.region
         if contig_seq is None or contig_seq.name != ctg.name:
             contig_seq = fasta.load_contig(
                 ctg.name, calc_gc=stats is not None
