@@ -149,14 +149,23 @@ class SamReader:
         self._f.close()
 
 
-def open_alignment_file(path: str):
-    """Open SAM/BAM by sniffing content (process.c:112-137 analogue)."""
+def open_alignment_file(path: str, native: bool = True, threads: int = 4):
+    """Open SAM/BAM by sniffing content (process.c:112-137 analogue).
+    BAM prefers the native C++ batch decoder when the toolchain is
+    available; falls back to the pure-Python reader."""
     from bs_call_tpu.io.bam import BamReader
 
     f = open_reader(path)
     magic = f.read(4)
     f.close()
     if magic == b"BAM\x01":
+        if native:
+            try:
+                from bs_call_tpu.native.reader import NativeBamReader
+
+                return NativeBamReader(path, threads=threads)
+            except (RuntimeError, ValueError, OSError):
+                pass
         return BamReader(path)
     if magic[:4] == b"CRAM":
         raise NotImplementedError(

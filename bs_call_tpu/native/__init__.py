@@ -1,0 +1,68 @@
+"""Native ingest library loader: compiles bsc_ingest.cpp on first use."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "bsc_ingest.cpp")
+_SO = os.path.join(_DIR, "libbsc_ingest.so")
+_lock = threading.Lock()
+_lib = None
+
+
+def _build() -> bool:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-shared",
+        "-fPIC",
+        "-o",
+        _SO,
+        _SRC,
+        "-lz",
+        "-pthread",
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=180)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if res.returncode != 0:
+        import sys
+
+        print(res.stderr, file=sys.stderr)
+        return False
+    return True
+
+
+def load():
+    """Returns the ctypes library, building it if needed; None if the
+    toolchain is unavailable."""
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        need = not os.path.exists(_SO) or os.path.getmtime(
+            _SO
+        ) < os.path.getmtime(_SRC)
+        if need and not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        lib.bsc_open.restype = ctypes.c_void_p
+        lib.bsc_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.bsc_close.argtypes = [ctypes.c_void_p]
+        lib.bsc_n_refs.argtypes = [ctypes.c_void_p]
+        lib.bsc_n_refs.restype = ctypes.c_int
+        lib.bsc_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bsc_ref_name.restype = ctypes.c_char_p
+        lib.bsc_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bsc_ref_len.restype = ctypes.c_int
+        lib.bsc_header_text.argtypes = [ctypes.c_void_p]
+        lib.bsc_header_text.restype = ctypes.c_char_p
+        lib.bsc_next_batch.restype = ctypes.c_int
+        _lib = lib
+        return _lib

@@ -165,8 +165,13 @@ def classify_record(
     if not skip:
         ix = 1 if reverse else 0
         align_length = cigar_to_misms(rec, al, ix)
-        al.read[ix] = rec.packed_read()
-        al.bs_strand = decode_bs_strand(rec.aux)
+        packed = getattr(rec, "packed", None)
+        if packed is not None:  # native ingest precomputed these
+            al.read[ix] = packed
+            al.bs_strand = rec.bs_strand
+        else:
+            al.read[ix] = rec.packed_read()
+            al.bs_strand = decode_bs_strand(rec.aux)
     return RecResult(
         al=al,
         filtered=filtered,
