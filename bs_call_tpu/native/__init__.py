@@ -8,7 +8,11 @@ import subprocess
 import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "bsc_ingest.cpp")
+_SRCS = [
+    os.path.join(_DIR, "bsc_ingest.cpp"),
+    os.path.join(_DIR, "bsc_pipeline.cpp"),
+]
+_HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
 _lock = threading.Lock()
 _lib = None
@@ -23,7 +27,7 @@ def _build() -> bool:
         "-fPIC",
         "-o",
         _SO,
-        _SRC,
+        *_SRCS,
         "-lz",
         "-pthread",
     ]
@@ -46,9 +50,10 @@ def load():
     with _lock:
         if _lib is not None:
             return _lib
-        need = not os.path.exists(_SO) or os.path.getmtime(
-            _SO
-        ) < os.path.getmtime(_SRC)
+        src_mtime = max(
+            os.path.getmtime(p) for p in _SRCS + [_HDR]
+        )
+        need = not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime
         if need and not _build():
             return None
         lib = ctypes.CDLL(_SO)
@@ -64,5 +69,16 @@ def load():
         lib.bsc_header_text.argtypes = [ctypes.c_void_p]
         lib.bsc_header_text.restype = ctypes.c_char_p
         lib.bsc_next_batch.restype = ctypes.c_int
+        lib.bsp_open.restype = ctypes.c_void_p
+        lib.bsp_close.argtypes = [ctypes.c_void_p]
+        lib.bsp_n_refs.argtypes = [ctypes.c_void_p]
+        lib.bsp_n_refs.restype = ctypes.c_int
+        lib.bsp_ref_name.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bsp_ref_name.restype = ctypes.c_char_p
+        lib.bsp_ref_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.bsp_ref_len.restype = ctypes.c_int
+        lib.bsp_header_text.argtypes = [ctypes.c_void_p]
+        lib.bsp_header_text.restype = ctypes.c_char_p
+        lib.bsp_next_block.restype = ctypes.c_int
         _lib = lib
         return _lib

@@ -1,0 +1,1017 @@
+// bsc_pipeline: native ingest-to-pileup pipeline.
+//
+// Full C++ port of the host-side calling pipeline, replacing the
+// per-record Python path for throughput: record classification
+// (pipeline/reads.py <- input_sam.c:222-312), mate pairing / duplicate
+// selection / block building (pipeline/blocks.py <-
+// get_template_vector.c:49-389), template normalization
+// (pipeline/template.py <- read_utils.c, al_utils.c, process_template.c)
+// and pileup + methylation-profile accumulation (ops/pileup.py,
+// stats/meth_profile.py <- call_genotypes.c:180-226, meth_profile.c).
+// The Python implementations remain the behavioral reference; tests assert
+// bit-identical pileup tensors and stats from both paths.
+
+#include "bsc_common.h"
+
+#include <cmath>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+using namespace bsc;
+
+constexpr uint16_t FPAIRED = 1, FPROPER = 2, FUNMAP = 4, FMUNMAP = 8,
+                   FREVERSE = 16, FREAD2 = 128, FSECONDARY = 256,
+                   FQCFAIL = 512, FDUP = 1024, FSUPPL = 2048;
+
+// gt_filter_reason indices (constants.py / bs_call.h:50)
+enum {
+    R_NONE = 0, R_UNMAPPED, R_QC, R_SECONDARY, R_MATE_UNMAPPED, R_DUPLICATE,
+    R_NOPOS, R_NOMATEPOS, R_MISMATCH_CHR, R_ORIENTATION, R_INSERT_SIZE,
+    R_NOSEQ, R_MAPQ, R_NOT_CORRECTLY_ALIGNED, R_PAIR_NOT_FOUND
+};
+
+enum MismsType : uint8_t { M_MISMS = 0, M_INS = 1, M_DEL = 2, M_SOFT = 3 };
+
+struct Misms {
+    uint8_t type;
+    int64_t position;
+    int64_t size;
+};
+
+struct Align {
+    uint32_t fwd_pos = 0, rev_pos = 0;
+    uint32_t ref_span[2] = {0, 0};
+    bool has_read[2] = {false, false};
+    std::vector<uint8_t> read[2];
+    std::vector<Misms> misms[2];
+    uint8_t mapq[2] = {0, 0};
+    uint8_t orientation = 0, bs_strand = 0;
+    std::vector<int32_t> orig_pos[2];
+
+    void clear() {
+        fwd_pos = rev_pos = 0;
+        ref_span[0] = ref_span[1] = 0;
+        has_read[0] = has_read[1] = false;
+        read[0].clear();
+        read[1].clear();
+        misms[0].clear();
+        misms[1].clear();
+        orig_pos[0].clear();
+        orig_pos[1].clear();
+        mapq[0] = mapq[1] = 0;
+        orientation = bs_strand = 0;
+    }
+};
+
+struct Config {
+    int mapq_thresh = 20;
+    int64_t max_template_len = 1000;
+    int min_qual = 20;
+    bool keep_unmatched = false;
+    bool ignore_dup = false;
+    bool keep_dup = false;
+    bool quirks = true;
+    int left_trim[2] = {0, 0};
+    int right_trim[2] = {0, 0};
+};
+
+struct Stats {
+    int64_t filter_cts[15] = {0};
+    int64_t filter_bases[15] = {0};
+    int64_t base_filter[5] = {0};
+};
+
+struct HashEntry {
+    Align *al;
+    uint16_t flag;
+    size_t ix;
+    std::string tag;
+};
+
+struct ClassifyResult {
+    bool skip;
+    int filtered;
+    bool reverse;
+    uint32_t align_length;
+    uint16_t flag;
+};
+
+// ---- per-record classification (pipeline/reads.py) ----
+
+ClassifyResult classify(const RawRec &rec, Align &al, const Config &cfg) {
+    ClassifyResult res{false, R_NONE, false, 0, rec.flag};
+    int filtered = R_NONE;
+    uint16_t flag = rec.flag;
+    if ((flag & FPAIRED) && !cfg.keep_unmatched) {
+        uint16_t bad = flag & (FPROPER | FUNMAP | FMUNMAP | FQCFAIL |
+                               FSECONDARY | FSUPPL | FDUP);
+        if (bad != FPROPER) {
+            if (flag & (FSECONDARY | FSUPPL)) filtered = R_SECONDARY;
+            else if (flag & FUNMAP) filtered = R_UNMAPPED;
+            else if (flag & FMUNMAP) filtered = R_MATE_UNMAPPED;
+            else if (flag & FQCFAIL) filtered = R_QC;
+            else if (flag & FDUP) {
+                if (!cfg.ignore_dup) filtered = R_DUPLICATE;
+            } else filtered = R_NOT_CORRECTLY_ALIGNED;
+        }
+    } else {
+        if (flag & (FUNMAP | FQCFAIL | FSECONDARY | FSUPPL | FDUP)) {
+            if (flag & (FSECONDARY | FSUPPL)) filtered = R_SECONDARY;
+            else if (flag & FUNMAP) filtered = R_UNMAPPED;
+            else if (flag & FQCFAIL) filtered = R_QC;
+            else if (flag & FDUP) filtered = R_DUPLICATE;
+        }
+    }
+    bool mis_matched = (flag & (FMUNMAP | FPROPER)) != FPROPER;
+    bool reverse = flag & FREVERSE;
+    bool second = flag & FREAD2;
+    al.orientation = ((second && reverse) || !(second || reverse)) ? 0 : 1;
+    bool mult_seg = (flag & (FPAIRED | FMUNMAP)) == FPAIRED;
+    if (reverse) {
+        al.fwd_pos = rec.mpos + 1;
+        al.rev_pos = rec.pos + 1;
+        al.mapq[1] = rec.mapq;
+    } else {
+        al.fwd_pos = rec.pos + 1;
+        al.rev_pos = rec.mpos + 1;
+        al.mapq[0] = rec.mapq;
+    }
+    if (rec.mapq < cfg.mapq_thresh && !filtered) filtered = R_MAPQ;
+    uint16_t aflag = flag;
+    if (mult_seg) {
+        if (rec.tid != rec.mtid) {
+            if (!filtered) filtered = R_MISMATCH_CHR;
+            if (cfg.keep_unmatched) mis_matched = true;
+        }
+        if (!filtered) {
+            if (llabs((long long)rec.isize) > cfg.max_template_len) {
+                filtered = R_INSERT_SIZE;
+                if (cfg.keep_unmatched) mis_matched = true;
+            }
+        }
+        if (reverse) {
+            if (rec.pos < rec.mpos) {
+                if (!filtered) filtered = R_ORIENTATION;
+                if (cfg.keep_unmatched) mis_matched = true;
+            }
+            if (mis_matched) al.fwd_pos = 0;
+        } else {
+            if (rec.pos > rec.mpos) {
+                if (!filtered) filtered = R_ORIENTATION;
+                if (cfg.keep_unmatched) mis_matched = true;
+            }
+            if (mis_matched) al.rev_pos = 0;
+        }
+    }
+    if (!mult_seg || mis_matched) aflag &= ~FPAIRED;
+    bool skip = false;
+    if (filtered) {
+        if (!(cfg.keep_unmatched &&
+              (filtered == R_INSERT_SIZE || filtered == R_MISMATCH_CHR ||
+               filtered == R_ORIENTATION)))
+            skip = true;
+    }
+    uint32_t align_length = 0;
+    if (!skip) {
+        int ix = reverse ? 1 : 0;
+        // CIGAR decode (pipeline/reads.py cigar_to_misms)
+        uint32_t position = 0, span = 0;
+        al.misms[ix].clear();
+        for (int i = 0; i < rec.n_cigar; i++) {
+            uint32_t w = rec.cigar[i];
+            uint32_t len = w >> 4;
+            switch (w & 0xF) {
+            case 0: case 7: case 8:  // M, =, X
+                position += len;
+                span += len;
+                break;
+            case 4: case 6:  // S, P (quirk: P treated like S)
+                al.misms[ix].push_back({M_SOFT, position, len});
+                position += len;
+                break;
+            case 1:  // I -> stored DEL
+                al.misms[ix].push_back({M_DEL, position, len});
+                position += len;
+                break;
+            case 2:  // D -> stored INS
+                al.misms[ix].push_back({M_INS, position, len});
+                span += len;
+                break;
+            default:
+                break;  // N, H ignored
+            }
+        }
+        al.ref_span[ix] = span;
+        align_length = position;
+        al.read[ix].resize(rec.l_seq);
+        pack_read(rec, al.read[ix].data());
+        al.has_read[ix] = true;
+        al.bs_strand = scan_bs_strand(rec.aux, rec.aux_end);
+    }
+    res.skip = skip;
+    res.filtered = filtered;
+    res.reverse = reverse;
+    res.align_length = align_length;
+    res.flag = aflag;
+    return res;
+}
+
+// ---- duplicate tie-break (pipeline/alignments.py get_al_qual) ----
+
+int64_t get_al_qual(const Align &al, bool quirks) {
+    int64_t qual = 0, n = 0;
+    for (int k = 0; k < 2; k++) {
+        if (!al.has_read[k] || al.read[k].empty()) continue;
+        int64_t rl = al.read[k].size();
+        if (quirks) {
+            if (k < rl) {
+                int q = al.read[k][k] >> 2;
+                if (q != FLT_QUAL) {
+                    qual += (int64_t)q * rl;
+                    n += rl;
+                }
+            }
+        } else {
+            for (uint8_t b : al.read[k]) {
+                int q = b >> 2;
+                if (q != FLT_QUAL) {
+                    qual += q;
+                    n++;
+                }
+            }
+        }
+    }
+    return n > 0 ? qual / n : 0;
+}
+
+// ---- template normalization (pipeline/template.py) ----
+
+void trim_read_mask(std::vector<uint8_t> &rd, int left, int right) {
+    int64_t rl = rd.size();
+    for (int64_t k = 0; k < left && k < rl; k++)
+        rd[k] = (rd[k] & 3) | (FLT_QUAL << 2);
+    for (int64_t k = 0; k < right && k < rl; k++)
+        rd[rl - k - 1] = (rd[rl - k - 1] & 3) | (FLT_QUAL << 2);
+}
+
+void trim_soft_clips(Align &al, Stats *st, int64_t tl[2], int64_t tr[2]) {
+    for (int k = 0; k < 2; k++) {
+        if (!al.has_read[k] || al.read[k].empty()) continue;
+        int64_t rl = al.read[k].size();
+        auto &misms = al.misms[k];
+        int nclip = 0;
+        int64_t adj = 0;
+        std::vector<Misms> kept;
+        for (size_t z = 0; z < misms.size(); z++) {
+            Misms m = misms[z];
+            if (m.type == M_SOFT) {
+                nclip++;
+                if (m.position == 0) {
+                    adj = m.size;
+                    if (st) st->base_filter[2] += adj;
+                    al.read[k].erase(al.read[k].begin(),
+                                     al.read[k].begin() + adj);
+                    tl[k] = adj;
+                } else {
+                    al.read[k].resize(al.read[k].size() - m.size);
+                    tr[k] = m.size;
+                    if (st) st->base_filter[2] += m.size;
+                }
+            } else {
+                if (nclip) m.position -= adj;
+                kept.push_back(m);
+            }
+        }
+        misms = kept;
+        (void)rl;
+    }
+}
+
+int64_t mean_qual(const std::vector<uint8_t> &rd) {
+    int64_t s = 0, n = 0;
+    for (uint8_t b : rd) {
+        int q = b >> 2;
+        if (q != FLT_QUAL) {
+            s += q;
+            n++;
+        }
+    }
+    return n ? s / n : 0;
+}
+
+void handle_overlap(Align &al, Stats *st, int64_t tl[2], int64_t tr[2]) {
+    int64_t rdl[2] = {
+        al.has_read[0] ? (int64_t)al.read[0].size() : 0,
+        al.has_read[1] ? (int64_t)al.read[1].size() : 0,
+    };
+    if (!(rdl[0] > 0 && rdl[1] > 0)) return;
+    int64_t overlap;
+    bool rev;
+    if (al.fwd_pos <= al.rev_pos) {
+        overlap = (int64_t)al.ref_span[0] - al.rev_pos + al.fwd_pos;
+        rev = false;
+    } else {
+        overlap = (int64_t)al.ref_span[1] + al.rev_pos - al.fwd_pos;
+        rev = true;
+    }
+    if (al.fwd_pos + al.ref_span[0] < al.rev_pos) return;
+
+    int tr_ix;
+    if (al.ref_span[0] > al.ref_span[1]) tr_ix = 1;
+    else if (al.ref_span[0] < al.ref_span[1]) tr_ix = 0;
+    else tr_ix = mean_qual(al.read[0]) <= mean_qual(al.read[1]) ? 0 : 1;
+
+    if (rev != (tr_ix == 1)) {
+        if (tr_ix) al.rev_pos += overlap;
+        else al.fwd_pos += overlap;
+    }
+    auto &misms = al.misms[tr_ix];
+    auto &rd = al.read[tr_ix];
+    bool right_case = (rev && tr_ix == 1) || !(rev || tr_ix == 1);
+    auto right_trim = [&](int64_t n) {
+        if (n > 0) {
+            if (n >= (int64_t)rd.size()) rd.clear();
+            else rd.resize(rd.size() - n);
+        }
+    };
+    auto left_trim = [&](int64_t n) {
+        if (n > 0) {
+            if (n >= (int64_t)rd.size()) rd.clear();
+            else rd.erase(rd.begin(), rd.begin() + n);
+        }
+    };
+    if (misms.empty()) {
+        if (right_case) right_trim(overlap);
+        else left_trim(overlap);
+    } else if (right_case) {
+        int64_t xx = (int64_t)al.ref_span[tr_ix] - overlap;
+        int64_t adj = 0;
+        bool trimmed = false;
+        for (size_t z = 0; z < misms.size(); z++) {
+            Misms &m = misms[z];
+            if (m.position + adj >= xx) {
+                right_trim(rdl[tr_ix] - xx + adj);
+                misms.resize(z);
+                trimmed = true;
+                break;
+            }
+            if (m.type == M_INS) {
+                if (m.position + adj + m.size >= xx) {
+                    int64_t trim = rdl[tr_ix] - m.position;
+                    m.size = xx - (m.position + adj);
+                    right_trim(trim);
+                    misms.resize(z + 1);
+                    trimmed = true;
+                    break;
+                }
+                adj += m.size;
+            } else if (m.type == M_DEL) adj -= m.size;
+        }
+        if (!trimmed) right_trim(overlap);
+    } else {
+        int64_t xx = overlap;
+        int64_t adj = 0;
+        bool trimmed = false;
+        for (size_t z = 0; z < misms.size(); z++) {
+            Misms &m = misms[z];
+            if (m.position + adj >= xx) {
+                int64_t trim = xx - adj;
+                left_trim(trim);
+                trimmed = true;
+                for (size_t z1 = z; z1 < misms.size(); z1++)
+                    misms[z1].position -= trim;
+                misms.erase(misms.begin(), misms.begin() + z);
+                break;
+            }
+            if (m.type == M_INS) {
+                if (m.position + adj + m.size >= xx) {
+                    m.size = m.position + m.size + adj - xx;
+                    int64_t trim = m.position;
+                    left_trim(trim);
+                    trimmed = true;
+                    size_t z2 = m.size ? z : z + 1;
+                    for (size_t z1 = z2; z1 < misms.size(); z1++)
+                        misms[z1].position -= trim;
+                    misms.erase(misms.begin(), misms.begin() + z2);
+                    break;
+                }
+                adj += m.size;
+            } else if (m.type == M_DEL) adj -= m.size;
+        }
+        if (!trimmed) {
+            left_trim(overlap - adj);
+            misms.clear();
+        }
+    }
+    int64_t rdl1[2] = {
+        al.has_read[0] ? (int64_t)al.read[0].size() : 0,
+        al.has_read[1] ? (int64_t)al.read[1].size() : 0,
+    };
+    if (st) st->base_filter[3] += (rdl[0] - rdl1[0]) + (rdl[1] - rdl1[1]);
+    if (right_case) tr[tr_ix] += rdl[tr_ix] - rdl1[tr_ix];
+    else tl[tr_ix] += rdl[tr_ix] - rdl1[tr_ix];
+}
+
+// indel normalization (process_template.c:66-111); returns max_pos
+int64_t normalize(Align &al, const int64_t tl[2], const int64_t tr[2]) {
+    int64_t max_pos = 0;
+    for (int k = 0; k < 2; k++) {
+        if (!al.has_read[k]) continue;
+        auto &rd = al.read[k];
+        int64_t rl = rd.size();
+        auto &orig = al.orig_pos[k];
+        orig.resize(rl);
+        int64_t mpos;
+        if (k) {
+            int64_t posx = rl + tr[k] - 1;
+            for (int64_t i = 0; i < rl; i++) orig[i] = posx - i;
+            mpos = posx;
+        } else {
+            int64_t posx = tl[k];
+            for (int64_t i = 0; i < rl; i++) orig[i] = posx + i;
+            mpos = posx + rl;
+        }
+        if (mpos > max_pos) max_pos = mpos;
+        int64_t adj = 0;
+        for (auto &m : al.misms[k]) {
+            int64_t ix1 = m.position + adj;
+            if (m.type == M_INS) {
+                rd.insert(rd.begin() + ix1, m.size, 0);
+                orig.insert(orig.begin() + ix1, m.size, -1);
+                adj += m.size;
+            } else if (m.type == M_DEL) {
+                rd.erase(rd.begin() + ix1, rd.begin() + ix1 + m.size);
+                orig.erase(orig.begin() + ix1, orig.begin() + ix1 + m.size);
+                adj -= m.size;
+            }
+        }
+    }
+    return max_pos;
+}
+
+// ---- the pipeline object ----
+
+struct Pipeline {
+    Reader *r = nullptr;
+    Config cfg;
+    Stats stats;
+    bool collect_stats = false;
+    std::vector<int8_t> tid_keep;
+
+    // block builder state
+    std::vector<Align *> align_list;
+    std::vector<HashEntry *> al_hash_list;
+    std::unordered_map<std::string, HashEntry *> hash;
+    std::vector<Align *> free_pool;
+    std::vector<HashEntry *> hash_pool;
+    int curr_tid = -1, old_tid = -1;
+    bool chr_skip = false;
+    uint32_t max_pos = 0, start_pos = 0, curr_pos = 0;
+    size_t start_idx = 0;
+    Align *pending = nullptr;
+    bool eof = false;
+
+    // staged block
+    std::vector<Align *> blk_list;
+    int blk_tid = -1;
+    uint32_t blk_x = 0, blk_y = 0;
+    int64_t blk_max_pos = 0;
+
+    ~Pipeline() {
+        release_block();
+        for (Align *a : align_list) delete a;
+        for (Align *a : free_pool) delete a;
+        if (pending) delete pending;
+        for (auto &kv : hash) delete kv.second;
+        for (HashEntry *e : hash_pool) delete e;
+        delete r;
+    }
+
+    Align *new_align() {
+        if (!free_pool.empty()) {
+            Align *a = free_pool.back();
+            free_pool.pop_back();
+            a->clear();
+            return a;
+        }
+        return new Align();
+    }
+
+    HashEntry *new_hash(Align *al, uint16_t flag, size_t ix,
+                        const std::string &tag) {
+        HashEntry *e;
+        if (!hash_pool.empty()) {
+            e = hash_pool.back();
+            hash_pool.pop_back();
+        } else e = new HashEntry();
+        e->al = al;
+        e->flag = flag;
+        e->ix = ix;
+        e->tag = tag;
+        return e;
+    }
+
+    void clear_hash() {
+        for (auto &kv : hash) hash_pool.push_back(kv.second);
+        hash.clear();
+    }
+
+    void release_block() {
+        for (Align *a : blk_list) free_pool.push_back(a);
+        blk_list.clear();
+    }
+
+    // --- block production (pipeline/blocks.py read_blocks) ---
+
+    bool flush_to_block(int tid) {
+        clear_hash();
+        if (align_list.empty()) return false;
+        blk_list = std::move(align_list);
+        align_list.clear();
+        al_hash_list.clear();
+        blk_tid = tid;
+        blk_y = max_pos;
+        return true;
+    }
+
+    bool next_block() {
+        release_block();
+        if (eof) return false;
+        Stats *st = collect_stats ? &stats : nullptr;
+        for (;;) {
+            RawRec rec;
+            if (!next_record(*r, rec)) {
+                eof = true;
+                return flush_to_block(curr_tid) ? stage() : false;
+            }
+            Align *al = pending ? pending : new_align();
+            pending = nullptr;
+            al->clear();
+            ClassifyResult res = classify(rec, *al, cfg);
+            if (res.skip) {
+                if (st) {
+                    st->filter_cts[res.filtered]++;
+                    st->filter_bases[res.filtered] += rec.l_seq;
+                }
+                pending = al;
+                continue;
+            }
+            std::string tag(rec.name, rec.name_len);
+            bool reverse = res.reverse;
+            uint16_t aflag = res.flag;
+
+            bool new_block = false, new_contig = false;
+            if (curr_tid < 0 || curr_tid != rec.tid) {
+                new_contig = new_block = true;
+                chr_skip = false;
+                old_tid = curr_tid;
+                curr_tid = rec.tid;
+                chr_skip = !(curr_tid >= 0 &&
+                             curr_tid < (int)tid_keep.size() &&
+                             tid_keep[curr_tid]);
+            }
+            bool insert = true;
+            if (!(chr_skip || new_contig)) {
+                if ((aflag & FPAIRED) && al->fwd_pos > 0 && al->rev_pos > 0) {
+                    if (al->fwd_pos == al->rev_pos)
+                        insert = hash.find(tag) == hash.end();
+                    else if (reverse) insert = al->fwd_pos > al->rev_pos;
+                    else insert = al->fwd_pos < al->rev_pos;
+                }
+                if (insert && start_pos > 0) {
+                    if (al->fwd_pos > 0) {
+                        if (al->fwd_pos > max_pos &&
+                            (al->rev_pos > max_pos || al->rev_pos == 0)) {
+                            if (al->fwd_pos - max_pos > 1) new_block = true;
+                        }
+                    } else if (al->rev_pos > max_pos &&
+                               al->rev_pos - max_pos > 1)
+                        new_block = true;
+                }
+            }
+            bool have_block = false;
+            int flush_tid = -1;
+            if (new_block) {
+                flush_tid = new_contig ? old_tid : curr_tid;
+                have_block =
+                    !align_list.empty() && flush_to_block(flush_tid);
+                clear_hash();
+                curr_pos = 0;
+                start_idx = 0;
+                if (new_contig && old_tid >= 0) old_tid = -1;
+                max_pos = start_pos = 0;
+            }
+            if (chr_skip) {
+                pending = al;
+                if (have_block) return stage();
+                continue;
+            }
+            if (align_list.empty()) {
+                // region tracking handled Python-side (native path is used
+                // for whole-file runs)
+            }
+            uint32_t ml, stp;
+            if (reverse) {
+                ml = al->rev_pos + al->ref_span[1];
+                stp = al->rev_pos;
+            } else {
+                ml = al->fwd_pos + al->ref_span[0];
+                stp = al->fwd_pos;
+            }
+            if (ml > max_pos) max_pos = ml;
+            if (start_pos == 0 || start_pos > stp) start_pos = stp;
+
+            if (aflag & FPAIRED) {
+                if (!insert) {
+                    auto it = hash.find(tag);
+                    if (it != hash.end()) {
+                        HashEntry *th = it->second;
+                        hash.erase(it);
+                        int ix = reverse ? 1 : 0;
+                        Align *tal = th->al;
+                        std::swap(tal->read[ix], al->read[ix]);
+                        std::swap(tal->has_read[ix], al->has_read[ix]);
+                        tal->mapq[ix] = al->mapq[ix];
+                        tal->ref_span[ix] = al->ref_span[ix];
+                        std::swap(tal->misms[ix], al->misms[ix]);
+                        al_hash_list[th->ix] = nullptr;
+                        hash_pool.push_back(th);
+                        pending = al;
+                    } else {
+                        if (st) {
+                            st->filter_cts[R_PAIR_NOT_FOUND]++;
+                            int ix = reverse ? 1 : 0;
+                            st->filter_bases[R_PAIR_NOT_FOUND] +=
+                                al->has_read[ix] ? al->read[ix].size() : 0;
+                        }
+                        bool al_skip = false;
+                        if (!cfg.keep_dup) {
+                            uint32_t x =
+                                reverse ? al->rev_pos : al->fwd_pos;
+                            if (x >= start_pos) al_skip = true;
+                        }
+                        if (!al_skip && cfg.keep_unmatched) {
+                            uint32_t x = al->fwd_pos > 0
+                                             ? al->fwd_pos + res.align_length
+                                             : al->rev_pos + res.align_length;
+                            if (x > max_pos) max_pos = x;
+                            align_list.push_back(al);
+                            al_hash_list.push_back(nullptr);
+                        } else {
+                            pending = al;
+                        }
+                    }
+                } else {
+                    bool al_skip = false;
+                    if (!cfg.keep_dup) {
+                        uint32_t pos =
+                            al->fwd_pos > 0 ? al->fwd_pos : al->rev_pos;
+                        if (pos == curr_pos) {
+                            for (size_t ix = start_idx;
+                                 ix < align_list.size(); ix++) {
+                                Align *al1 = align_list[ix];
+                                if (al->fwd_pos == al1->fwd_pos &&
+                                    al->rev_pos == al1->rev_pos &&
+                                    al->bs_strand == al1->bs_strand) {
+                                    int64_t maxq = 0, kn = 0, maxq1 = 0,
+                                            kn1 = 0;
+                                    for (int s = 0; s < 2; s++) {
+                                        if (al->has_read[s] &&
+                                            !al->read[s].empty()) {
+                                            maxq += al->mapq[s];
+                                            kn++;
+                                        }
+                                        if (al1->has_read[s] &&
+                                            !al1->read[s].empty()) {
+                                            maxq1 += al1->mapq[s];
+                                            kn1++;
+                                        }
+                                    }
+                                    maxq /= kn ? kn : 1;
+                                    maxq1 /= kn1 ? kn1 : 1;
+                                    if (maxq1 < maxq ||
+                                        (maxq == maxq1 &&
+                                         get_al_qual(*al1, cfg.quirks) <
+                                             get_al_qual(*al, cfg.quirks))) {
+                                        auto it2 = hash.find(tag);
+                                        HashEntry *th =
+                                            it2 != hash.end() ? it2->second
+                                                              : al_hash_list[ix];
+                                        align_list[ix] = al;
+                                        if (th) {
+                                            hash.erase(th->tag);
+                                            th->al = al;
+                                            th->flag = aflag;
+                                            th->ix = ix;
+                                        } else
+                                            th = new_hash(al, aflag, ix, tag);
+                                        th->tag = tag;
+                                        hash[tag] = th;
+                                        al_hash_list[ix] = th;
+                                        al = al1;
+                                    }
+                                    if (st) {
+                                        int64_t l1 = al->has_read[0]
+                                                         ? al->read[0].size()
+                                                         : 0;
+                                        int64_t l2 = al->has_read[1]
+                                                         ? al->read[1].size()
+                                                         : 0;
+                                        bool paired = l1 && l2;
+                                        st->filter_cts[R_DUPLICATE] +=
+                                            paired ? 2 : 1;
+                                        st->filter_bases[R_DUPLICATE] +=
+                                            l1 + l2;
+                                    }
+                                    al_skip = true;
+                                }
+                            }
+                        } else {
+                            curr_pos = pos;
+                            start_idx = align_list.size();
+                        }
+                    }
+                    if (!al_skip) {
+                        HashEntry *th =
+                            new_hash(al, aflag, align_list.size(), tag);
+                        hash[tag] = th;
+                        align_list.push_back(al);
+                        al_hash_list.push_back(th);
+                    } else {
+                        pending = al;
+                    }
+                }
+            } else {
+                bool al_skip = false;
+                if (!cfg.keep_dup) {
+                    uint32_t pos = al->fwd_pos > 0 ? al->fwd_pos : al->rev_pos;
+                    if (pos == curr_pos) {
+                        for (size_t ix = start_idx; ix < align_list.size();
+                             ix++) {
+                            Align *al1 = align_list[ix];
+                            HashEntry *th = al_hash_list[ix];
+                            if (al->fwd_pos == al1->fwd_pos &&
+                                al->rev_pos == al1->rev_pos &&
+                                al->bs_strand == al1->bs_strand &&
+                                (th == nullptr || ((th->flag & 9) == 9 ||
+                                                   (th->flag & 9) == 0))) {
+                                if (al1->mapq[0] < al->mapq[0] ||
+                                    (al1->mapq[0] == al->mapq[0] &&
+                                     get_al_qual(*al1, cfg.quirks) <
+                                         get_al_qual(*al, cfg.quirks))) {
+                                    align_list[ix] = al;
+                                    al = al1;
+                                }
+                                if (st) {
+                                    st->filter_cts[R_DUPLICATE]++;
+                                    int ix2 = reverse ? 1 : 0;
+                                    st->filter_bases[R_NONE] +=
+                                        al->has_read[ix2]
+                                            ? al->read[ix2].size()
+                                            : 0;
+                                }
+                                al_skip = true;
+                            }
+                        }
+                    } else {
+                        curr_pos = pos;
+                        start_idx = align_list.size();
+                    }
+                }
+                if (!al_skip) {
+                    align_list.push_back(al);
+                    al_hash_list.push_back(nullptr);
+                } else {
+                    pending = al;
+                }
+            }
+            if (have_block) return stage();
+        }
+    }
+
+    // --- template normalization + block staging ---
+
+    bool stage() {
+        // compute x (process_template.c:24-27 via runner)
+        Align *first = blk_list[0];
+        uint32_t x = first->fwd_pos ? first->fwd_pos : first->rev_pos;
+        blk_x = x > 2 ? x - 2 : 1;
+        Stats *st = collect_stats ? &stats : nullptr;
+        blk_max_pos = 0;
+        for (Align *al : blk_list) {
+            int msk = al->orientation == 0 ? 0 : 1;
+            if (cfg.left_trim[0] || cfg.right_trim[0])
+                if (al->has_read[0 ^ msk])
+                    trim_read_mask(al->read[0 ^ msk], cfg.left_trim[0],
+                                   cfg.right_trim[0]);
+            if (cfg.left_trim[1] || cfg.right_trim[1])
+                if (al->has_read[1 ^ msk])
+                    trim_read_mask(al->read[1 ^ msk], cfg.left_trim[1],
+                                   cfg.right_trim[1]);
+            int64_t tl[2] = {0, 0}, tr[2] = {0, 0};
+            trim_soft_clips(*al, st, tl, tr);
+            handle_overlap(*al, st, tl, tr);
+            if (st) {
+                for (int k = 0; k < 2; k++) {
+                    if (!al->has_read[k]) continue;
+                    for (uint8_t b : al->read[k]) {
+                        int q = b >> 2;
+                        if (q == FLT_QUAL) st->base_filter[1]++;
+                        else if (q < cfg.min_qual) st->base_filter[4]++;
+                        else st->base_filter[0]++;
+                    }
+                    st->filter_cts[R_NONE]++;
+                    st->filter_bases[R_NONE] += al->read[k].size();
+                }
+            }
+            int64_t mp = normalize(*al, tl, tr);
+            if (mp > blk_max_pos) blk_max_pos = mp;
+        }
+        return true;
+    }
+
+    // --- pileup (ops/pileup.py <- call_genotypes.c:180-226) ---
+
+    void pileup(int32_t *counts2, float *qual_sum, float *mapq2) const {
+        int64_t sz = (int64_t)blk_y - blk_x + 1;
+        memset(counts2, 0, sizeof(int32_t) * sz * 16);
+        memset(qual_sum, 0, sizeof(float) * sz * 8);
+        memset(mapq2, 0, sizeof(float) * sz);
+        static const int8_t base_tab_st[3][4] = {
+            {0, 1, 2, 3}, {0, 5, 2, 7}, {4, 1, 6, 3}};
+        for (const Align *al : blk_list) {
+            int ori = al->orientation;
+            int stx = al->bs_strand;
+            for (int k = 0; k < 2; k++, ori ^= 1) {
+                if (!al->has_read[k] || al->read[k].empty()) continue;
+                const auto &rd = al->read[k];
+                int64_t rl = rd.size();
+                int64_t rs = -1, re = -1;
+                for (int64_t j = 0; j < rl; j++) {
+                    int q = rd[j] >> 2;
+                    if (q > 0 && q != FLT_QUAL) { rs = j; break; }
+                }
+                if (rs < 0) continue;
+                for (int64_t j = rl; j > 0; j--) {
+                    int q = rd[j - 1] >> 2;
+                    if (q > 0 && q != FLT_QUAL) { re = j - 1; break; }
+                }
+                int64_t pos = (k ? al->rev_pos : al->fwd_pos) + rs;
+                float mq2 = (float)(al->mapq[k] * al->mapq[k]);
+                for (int64_t j = rs; j <= re && pos <= (int64_t)blk_y;
+                     j++, pos++) {
+                    int q = rd[j] >> 2;
+                    if (q >= cfg.min_qual && q != FLT_QUAL) {
+                        int c = base_tab_st[stx][rd[j] & 3];
+                        int64_t o = pos - blk_x;
+                        counts2[o * 16 + ori * 8 + c]++;
+                        qual_sum[o * 8 + c] += (float)q;
+                        mapq2[o] += mq2;
+                    }
+                }
+            }
+        }
+    }
+
+    // --- methylation read profile (stats/meth_profile.py) ---
+
+    void meth_profile(const uint8_t *ref, int64_t ref_len, int64_t *mprof,
+                      int64_t rows) const {
+        static uint8_t rtab[64];
+        static uint8_t flt_tab[3 * 256];
+        static int flt_tab_minq = -1;
+        if (flt_tab_minq != cfg.min_qual) {
+            memset(rtab, 0, sizeof(rtab));
+            for (int prev = 0; prev < 5; prev++)
+                for (int cur = 0; cur < 5; cur++) {
+                    int s = (prev << 3) | cur;
+                    if (prev == 2 && (cur == 1 || cur == 2 || cur == 4))
+                        rtab[s] = 4;
+                    else if (cur == 3 &&
+                             (prev == 1 || prev == 3 || prev == 4))
+                        rtab[s] = 8;
+                }
+            memset(flt_tab, 0, sizeof(flt_tab));
+            for (int q = cfg.min_qual; q < FLT_QUAL; q++) {
+                int x = q << 2;
+                const uint8_t v0[4] = {11, 6, 10, 7};
+                const uint8_t v1[4] = {11, 4, 10, 5};
+                const uint8_t v2[4] = {9, 6, 8, 7};
+                for (int i = 0; i < 4; i++) {
+                    flt_tab[x + i] = v0[i];
+                    flt_tab[256 + x + i] = v1[i];
+                    flt_tab[512 + x + i] = v2[i];
+                }
+            }
+            flt_tab_minq = cfg.min_qual;
+        }
+        for (const Align *al : blk_list) {
+            const uint8_t *btab = flt_tab + 256 * al->bs_strand;
+            for (int k = 0; k < 2; k++) {
+                if (!al->has_read[k] || al->read[k].empty()) continue;
+                const auto &rd = al->read[k];
+                const auto &op = al->orig_pos[k];
+                int64_t pos = k ? al->rev_pos : al->fwd_pos;
+                int64_t ri = pos - blk_x;
+                uint8_t state = 0;
+                if (pos > (int64_t)blk_x) {
+                    state = (uint8_t)(((ref[ri - 1] << 3) | ref[ri]) & 63);
+                    ri++;
+                }
+                uint8_t mask = rtab[state];
+                for (size_t j = 0; j < rd.size(); j++) {
+                    uint8_t xx = btab[rd[j]];
+                    uint8_t mask1 = (xx & mask) >> 1;
+                    if (pos >= (int64_t)blk_x) {
+                        uint8_t nxt = ri < ref_len ? ref[ri] : 0;
+                        state = (uint8_t)(((state << 3) | nxt) & 63);
+                        ri++;
+                    } else state = 0;
+                    mask = rtab[state];
+                    int inc = ((xx & mask) | mask1) >> 2 & 1;
+                    int64_t row = (int64_t)op[j] + 1;
+                    if (inc && row >= 0 && row < rows)
+                        mprof[row * 4 + (xx & 3)]++;
+                }
+            }
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void *bsp_open(const char *path, int nthreads, int mapq_thresh,
+               long long max_template_len, int min_qual, int keep_unmatched,
+               int ignore_dup, int keep_dup, int quirks, int lt0, int lt1,
+               int rt0, int rt1, int collect_stats, const int8_t *tid_keep,
+               int n_tids) {
+    Reader *r = bsc::open_reader(path, nthreads);
+    if (!r) return nullptr;
+    Pipeline *p = new Pipeline();
+    p->r = r;
+    p->cfg.mapq_thresh = mapq_thresh;
+    p->cfg.max_template_len = max_template_len;
+    p->cfg.min_qual = min_qual;
+    p->cfg.keep_unmatched = keep_unmatched;
+    p->cfg.ignore_dup = ignore_dup;
+    p->cfg.keep_dup = keep_dup;
+    p->cfg.quirks = quirks;
+    p->cfg.left_trim[0] = lt0;
+    p->cfg.left_trim[1] = lt1;
+    p->cfg.right_trim[0] = rt0;
+    p->cfg.right_trim[1] = rt1;
+    p->collect_stats = collect_stats;
+    p->tid_keep.assign(tid_keep, tid_keep + n_tids);
+    return p;
+}
+
+void bsp_close(void *h) { delete (Pipeline *)h; }
+
+int bsp_n_refs(void *h) {
+    return (int)((Pipeline *)h)->r->ref_names.size();
+}
+const char *bsp_ref_name(void *h, int i) {
+    return ((Pipeline *)h)->r->ref_names[i].c_str();
+}
+int bsp_ref_len(void *h, int i) { return ((Pipeline *)h)->r->ref_lens[i]; }
+const char *bsp_header_text(void *h) {
+    return ((Pipeline *)h)->r->header_text.c_str();
+}
+
+// meta[5]: tid, x, y, max_pos, n_templates. Returns 1 or 0 (EOF).
+int bsp_next_block(void *h, int64_t *meta) {
+    Pipeline *p = (Pipeline *)h;
+    if (!p->next_block()) return 0;
+    meta[0] = p->blk_tid;
+    meta[1] = p->blk_x;
+    meta[2] = p->blk_y;
+    meta[3] = p->blk_max_pos;
+    meta[4] = (int64_t)p->blk_list.size();
+    return 1;
+}
+
+void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
+                      float *mapq2) {
+    ((Pipeline *)h)->pileup(counts2, qual_sum, mapq2);
+}
+
+void bsp_block_meth_profile(void *h, const uint8_t *ref, int64_t ref_len,
+                            int64_t *mprof, int64_t rows) {
+    ((Pipeline *)h)->meth_profile(ref, ref_len, mprof, rows);
+}
+
+void bsp_get_stats(void *h, int64_t *filter_cts, int64_t *filter_bases,
+                   int64_t *base_filter) {
+    Pipeline *p = (Pipeline *)h;
+    memcpy(filter_cts, p->stats.filter_cts, sizeof(p->stats.filter_cts));
+    memcpy(filter_bases, p->stats.filter_bases,
+           sizeof(p->stats.filter_bases));
+    memcpy(base_filter, p->stats.base_filter, sizeof(p->stats.base_filter));
+}
+
+}  // extern "C"

@@ -1,0 +1,117 @@
+"""Python driver for the native ingest-to-pileup pipeline."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.bam import BamHeader
+from bs_call_tpu.native import load
+
+
+class NativePipeline:
+    """Streams (tid, x, y, counts2, qual_sum, mapq2_sum) blocks from the
+    C++ pipeline. Mirrors the Python read_blocks -> process_template ->
+    build_pileup chain."""
+
+    def __init__(self, path: str, cfg: CallerConfig, tid_keep: np.ndarray,
+                 collect_stats: bool = False, threads: int = 4):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native pipeline unavailable")
+        self._lib = lib
+        keep = np.ascontiguousarray(tid_keep, dtype=np.int8)
+        self._h = lib.bsp_open(
+            path.encode(),
+            threads,
+            cfg.mapq_thresh,
+            ctypes.c_longlong(cfg.max_template_len),
+            cfg.min_qual,
+            int(cfg.keep_unmatched),
+            int(cfg.ignore_duplicates),
+            int(cfg.keep_duplicates),
+            int(cfg.reference_quirks),
+            cfg.left_trim[0],
+            cfg.left_trim[1],
+            cfg.right_trim[0],
+            cfg.right_trim[1],
+            int(collect_stats),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            len(keep),
+        )
+        if not self._h:
+            raise ValueError(f"{path}: cannot open")
+        self.header = BamHeader(
+            text=lib.bsp_header_text(ctypes.c_void_p(self._h)).decode(),
+            ref_names=[
+                lib.bsp_ref_name(ctypes.c_void_p(self._h), i).decode()
+                for i in range(lib.bsp_n_refs(ctypes.c_void_p(self._h)))
+            ],
+            ref_lens=[
+                lib.bsp_ref_len(ctypes.c_void_p(self._h), i)
+                for i in range(lib.bsp_n_refs(ctypes.c_void_p(self._h)))
+            ],
+        )
+        self._meta = np.zeros(5, np.int64)
+
+    def next_block(self) -> Optional[dict]:
+        ok = self._lib.bsp_next_block(
+            ctypes.c_void_p(self._h),
+            self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if not ok:
+            return None
+        tid, x, y, max_pos, n_templates = (int(v) for v in self._meta)
+        sz = y - x + 1
+        counts2 = np.zeros((sz, 2, 8), np.int32)
+        qual_sum = np.zeros((sz, 8), np.float32)
+        mapq2 = np.zeros(sz, np.float32)
+        self._lib.bsp_block_pileup(
+            ctypes.c_void_p(self._h),
+            counts2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qual_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mapq2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return {
+            "tid": tid,
+            "x": x,
+            "y": y,
+            "max_pos": max_pos,
+            "n_templates": n_templates,
+            "counts2": counts2,
+            "qual_sum": qual_sum,
+            "mapq2_sum": mapq2,
+        }
+
+    def block_meth_profile(self, ref_window: np.ndarray, mprof: np.ndarray):
+        """Accumulate this block's meth-profile counts into mprof
+        [rows, 4] int64 (row = original read position + 1)."""
+        ref = np.ascontiguousarray(ref_window, dtype=np.uint8)
+        assert mprof.dtype == np.int64 and mprof.flags.c_contiguous
+        self._lib.bsp_block_meth_profile(
+            ctypes.c_void_p(self._h),
+            ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(len(ref)),
+            mprof.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(mprof)),
+        )
+
+    def get_stats(self):
+        fc = np.zeros(15, np.int64)
+        fb = np.zeros(15, np.int64)
+        bf = np.zeros(5, np.int64)
+        self._lib.bsp_get_stats(
+            ctypes.c_void_p(self._h),
+            fc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            fb.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            bf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return fc, fb, bf
+
+    def close(self):
+        if self._h:
+            self._lib.bsp_close(ctypes.c_void_p(self._h))
+            self._h = None

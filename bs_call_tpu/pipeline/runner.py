@@ -74,14 +74,108 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
         cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
     )
     engine = CallEngine(cfg)
-    process_contig_blocks(
-        cfg, reader, table, fasta, engine, emitter, stats
-    )
+    native = _try_native(cfg, table)
+    if native is not None:
+        process_contig_blocks_native(
+            cfg, native, table, fasta, engine, emitter, stats
+        )
+    else:
+        process_contig_blocks(
+            cfg, reader, table, fasta, engine, emitter, stats
+        )
     emitter.flush()
     writer.close()
     if close_out:
         out_fileobj.close()
     return stats, table
+
+
+def _try_native(cfg, table):
+    """The C++ pipeline handles whole-file BAM runs (regions go through
+    the Python path, which pre-filters the record stream)."""
+    if cfg.device == "numpy" or table.regions or not cfg.input_file:
+        return None
+    try:
+        from bs_call_tpu.io.bgzf import is_gzip
+
+        with open(cfg.input_file, "rb") as f:
+            pass
+        if not is_gzip(cfg.input_file):
+            return None
+        from bs_call_tpu.native.pipeline import NativePipeline
+    except (OSError, RuntimeError, ImportError):
+        return None
+    import gzip
+
+    with gzip.open(cfg.input_file, "rb") as f:
+        if f.read(4) != b"BAM\x01":
+            return None
+    max_tid = max((c.bam_tid for c in table.contigs), default=-1)
+    tid_keep = np.zeros(max_tid + 1, dtype=np.int8)
+    for c in table.contigs:
+        tid_keep[c.bam_tid] = 1
+    try:
+        return NativePipeline(
+            cfg.input_file, cfg, tid_keep, collect_stats=False
+        )
+    except (RuntimeError, ValueError):
+        return None
+
+
+def process_contig_blocks_native(
+    cfg, npipe, table, fasta, engine, emitter, stats
+):
+    """Native-pipeline driver: C++ produces (x, y, pileup tensors) blocks;
+    Python does reference windows, genotype batches and emission."""
+    # re-open with stats collection if needed
+    if stats is not None:
+        npipe.close()
+        from bs_call_tpu.native.pipeline import NativePipeline
+
+        max_tid = max((c.bam_tid for c in table.contigs), default=-1)
+        tid_keep = np.zeros(max_tid + 1, dtype=np.int8)
+        for c in table.contigs:
+            tid_keep[c.bam_tid] = 1
+        npipe = NativePipeline(
+            cfg.input_file, cfg, tid_keep, collect_stats=True
+        )
+    contig_seq = None
+    try:
+        while True:
+            blk = npipe.next_block()
+            if blk is None:
+                break
+            ctg = table.contigs[table.tid2id[blk["tid"]]]
+            ctg.curr_reg = None
+            if contig_seq is None or contig_seq.name != ctg.name:
+                contig_seq = fasta.load_contig(
+                    ctg.name, calc_gc=stats is not None
+                )
+                ctg.gc_start_pos = contig_seq.start_pos
+                if ctg.ctg_stats is not None:
+                    ctg.ctg_stats.gc = contig_seq.gc_bins
+            x, y = blk["x"], blk["y"]
+            sz = y - x + 1
+            ref_window = sequence_window(contig_seq, x, sz + 2)
+            if stats is not None:
+                stats.grow_meth_profile(blk["max_pos"] + 1)
+                npipe.block_meth_profile(ref_window, stats.meth_profile)
+            calls = engine.call_block(
+                blk["counts2"], blk["qual_sum"], blk["mapq2_sum"],
+                ref_window[:sz],
+            )
+            for i, call in enumerate(calls):
+                emitter.push(
+                    ctg, call, ref_window, x + i, x, skip=call is None
+                )
+            emitter.flush()
+        if stats is not None:
+            fc, fb, bf = npipe.get_stats()
+            stats.filter_cts += fc
+            stats.filter_bases += fb
+            stats.base_filter += bf
+    finally:
+        npipe.close()
 
 
 def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):

@@ -65,12 +65,23 @@ class BsStats:
         self.fs_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
         self.qd_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
         self.mq_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
-        # meth profile: per original-read-position conversion counts a,b,c,d
+        # meth profile: per original-read-position conversion counts a,b,c,d.
+        # The array carries one slack row beyond `meth_profile_used`: the
+        # reference's reverse-segment accumulation writes one row past the
+        # reported size (meth_profile.c:56 `mc = mem + 1` with orig_pos up
+        # to max_pos), and that row becomes visible if a longer template
+        # later grows the vector. We reproduce that by keeping the write
+        # and only reporting rows < meth_profile_used.
         self.meth_profile = np.zeros((0, 4), dtype=np.int64)
+        self.meth_profile_used = 0
 
     def grow_meth_profile(self, n: int):
-        if n > len(self.meth_profile):
-            pad = np.zeros((n - len(self.meth_profile), 4), dtype=np.int64)
+        """Ensure capacity for rows 0..n (inclusive) and set used = n."""
+        self.meth_profile_used = max(self.meth_profile_used, n)
+        if n + 1 > len(self.meth_profile):
+            pad = np.zeros(
+                (n + 1 - len(self.meth_profile), 4), dtype=np.int64
+            )
             self.meth_profile = np.concatenate([self.meth_profile, pad])
 
     def merge(self, other: "BsStats"):
@@ -113,5 +124,13 @@ class BsStats:
             for k, v in getattr(other, a).items():
                 mine[k][0] += v[0]
                 mine[k][1] += v[1]
-        self.grow_meth_profile(len(other.meth_profile))
-        self.meth_profile[: len(other.meth_profile)] += other.meth_profile
+        if len(other.meth_profile):
+            self.grow_meth_profile(
+                max(other.meth_profile_used, len(other.meth_profile) - 1)
+            )
+            self.meth_profile[: len(other.meth_profile)] += (
+                other.meth_profile
+            )
+            self.meth_profile_used = max(
+                self.meth_profile_used, other.meth_profile_used
+            )

@@ -237,7 +237,7 @@ def write_report(fp, cfg, stats, table, dbsnp=None):
     meth_array("PassedRefCpg", stats.CpG_ref_meth[1])
     meth_array("AllNonRefCpg", stats.CpG_nonref_meth[0])
     meth_array("PassedNonRefCpg", stats.CpG_nonref_meth[1], last=True)
-    nr = len(stats.meth_profile)
+    nr = stats.meth_profile_used
     if nr:
         w(',\n\t\t\t"NonCpGreadProfile": ')
         term = "["
