@@ -198,11 +198,16 @@ def call_genotypes(counts, quals, ref, params: ModelParams, dtype=jnp.float32):
     ll = genotype_log_likelihoods(counts, quals, ref, params, dtype)
     mx = jnp.argmax(ll, axis=-1).astype(jnp.int32)
     mval = jnp.max(ll, axis=-1, keepdims=True)
+    onehot = jax.nn.one_hot(mx, 10, dtype=bool)
     # second-best: mask out the argmax and take the max again
-    masked = jnp.where(
-        jax.nn.one_hot(mx, 10, dtype=bool), -jnp.inf, ll
-    )
+    masked = jnp.where(onehot, -jnp.inf, ll)
     margin = mval[:, 0] - jnp.max(masked, axis=-1)
-    s = jnp.log(jnp.sum(jnp.exp(ll - mval), axis=-1, keepdims=True))
-    gt_prob = (ll - mval - s) / LOG10
-    return gt_prob, mx, margin
+    # off-max exponent sum, computed separately so it does not get absorbed
+    # into 1.0 in float32 (the GQ phred needs 1-p with full relative
+    # precision)
+    off_sum = jnp.sum(
+        jnp.where(onehot, 0, jnp.exp(ll - mval)), axis=-1
+    )
+    s = jnp.log1p(off_sum)
+    gt_prob = (ll - mval - s[:, None]) / LOG10
+    return gt_prob, mx, margin, off_sum

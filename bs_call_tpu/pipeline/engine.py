@@ -51,106 +51,148 @@ class CallEngine:
     # ------------------------------------------------------------------
 
     def _call_batch(self, counts, quals, ref):
-        """Returns (gt_prob [N,10] f64, max_gt [N], margin [N])."""
+        """Three-tier batch call. Returns (gt_prob [N,10] f64, max_gt [N],
+        margin [N] f64, off_sum [N] f64).
+
+        gt_prob's argmax entry is set C-style to -log(1+off)/LOG10 (f64,
+        with the 1+off absorption the reference's double arithmetic has,
+        genotype_model.c:240-244), so the emitter's phred chain reproduces
+        the reference's GQ quantization exactly.
+        """
+        from bs_call_tpu.ops.genotype_np import call_genotypes_np
+
         n = len(ref)
-        if self._jax is None or n == 0:
-            gt_prob = np.zeros((n, 10))
-            max_gt = np.zeros(n, dtype=np.int32)
-            for i in range(n):
-                gt_prob[i], max_gt[i] = oracle.calc_gt_prob(
-                    counts[i],
-                    quals[i],
-                    int(ref[i]),
-                    self.cfg.under_conv,
-                    self.cfg.over_conv,
+        if n == 0:
+            return (
+                np.zeros((0, 10)),
+                np.zeros(0, np.int32),
+                np.zeros(0),
+                np.zeros(0),
+            )
+        if self._jax is None:
+            gt_prob, max_gt, margin, off = call_genotypes_np(
+                counts, quals, ref,
+                self.cfg.under_conv, self.cfg.over_conv, self.cfg.ref_bias,
+            )
+        else:
+            jax, jnp, call_genotypes = self._jax
+            bp = self.cfg.batch_positions
+            pad = (-n) % min(bp, max(256, 1 << (n - 1).bit_length()))
+            ck, qk, rk = counts, quals, ref
+            if pad:
+                ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
+                qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
+                rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
+            gt_prob, max_gt, margin, off = call_genotypes(
+                jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
+                self._params, dtype=jnp.float32,
+            )
+            gt_prob = np.array(gt_prob, dtype=np.float64)[:n]
+            max_gt = np.array(max_gt)[:n]
+            margin = np.array(margin, dtype=np.float64)[:n]
+            off = np.array(off, dtype=np.float64)[:n]
+            if self.cfg.exact:
+                flag = self._rescue_mask(gt_prob, margin, off)
+                if flag.any():
+                    fi = np.nonzero(flag)[0]
+                    gp, mg, mr, of = call_genotypes_np(
+                        counts[fi], quals[fi], ref[fi],
+                        self.cfg.under_conv, self.cfg.over_conv,
+                        self.cfg.ref_bias,
+                    )
+                    gt_prob[fi] = gp
+                    max_gt[fi] = mg
+                    margin[fi] = mr
+                    off[fi] = of
+        # C-style max-entry replacement (absorbing 1+off)
+        idx = np.arange(n)
+        gt_prob[idx, max_gt] = -np.log(1.0 + off) / LOG10
+        if self.cfg.exact:
+            # final tier: true ties / libm-ulp boundaries via the scalar
+            # oracle (same libm as the C binary); the oracle's gt_prob is
+            # already C-style
+            ties = margin < 1e-9
+            for j in np.nonzero(ties)[0]:
+                gt_prob[j], max_gt[j] = oracle.calc_gt_prob(
+                    counts[j], quals[j], int(ref[j]),
+                    self.cfg.under_conv, self.cfg.over_conv,
                     self.cfg.ref_bias,
                 )
-            return gt_prob, max_gt, np.full(n, np.inf)
-        jax, jnp, call_genotypes = self._jax
-        # pad to the batch granularity so only a few kernel shapes compile
-        bp = self.cfg.batch_positions
-        pad = (-n) % min(bp, max(256, 1 << (n - 1).bit_length()))
-        if pad:
-            counts = np.concatenate(
-                [counts, np.zeros((pad, 8), counts.dtype)]
-            )
-            quals = np.concatenate([quals, np.zeros((pad, 8), quals.dtype)])
-            ref = np.concatenate([ref, np.zeros(pad, ref.dtype)])
-        gt_prob, max_gt, margin = call_genotypes(
-            jnp.asarray(counts),
-            jnp.asarray(quals),
-            jnp.asarray(ref),
-            self._params,
-            dtype=jnp.float32,
-        )
-        gt_prob = np.array(gt_prob, dtype=np.float64)[:n]
-        max_gt = np.array(max_gt)[:n]
-        margin = np.array(margin, dtype=np.float64)[:n]
-        return gt_prob, max_gt, margin
+        return gt_prob, max_gt, margin, off
 
-    def _rescue_mask(self, gt_prob, max_gt, margin, counts):
-        """Positions needing exact recomputation."""
-        n = len(max_gt)
-        mask = np.zeros(n, dtype=bool)
-        if n == 0:
-            return mask
-        # 1. ambiguous argmax: margin below f32 noise floor of the ll sums
-        depth = counts.sum(axis=1)
-        scale = np.maximum(1.0, depth * 60.0)  # ll magnitude ~ depth * |ln k|
-        mask |= margin < 1e-5 * scale
-        # 2. GQ/phred near an integer boundary
-        top = gt_prob[np.arange(n), max_gt]
-        z1 = np.exp(top * LOG10)
-        with np.errstate(divide="ignore"):
-            ph = np.where(z1 < 1.0, -10.0 * np.log10(1.0 - z1), 256.0)
+    def _rescue_mask(self, gt_prob, margin, off):
+        """Positions whose f32 result is too close to a decision boundary:
+        argmax margin, GQ phred integer boundary, 1+off absorption edge,
+        or the GL clamp at -99.999."""
+        n = len(margin)
+        mask = margin < 0.05
+        # phred boundary from the C chain
+        with np.errstate(divide="ignore", over="ignore"):
+            summ = 1.0 + off
+            z = -np.log(summ) / LOG10
+            z1 = np.exp(z * LOG10)
+            one_minus = 1.0 - z1
+            ph = np.where(
+                one_minus > 0, -10.0 * np.log(one_minus) / LOG10, 256.0
+            )
         frac = ph - np.floor(ph)
-        tol = 1e-4 * np.maximum(1.0, np.abs(ph))
-        mask |= frac < tol
-        mask |= (1.0 - frac) < tol
-        mask |= z1 > 1.0 - 1e-6  # saturation boundary
-        # 3. GL clamp boundary at -99.999
-        mask |= np.any(np.abs(gt_prob + 99.999) < 1e-3, axis=1)
+        mask |= (frac < 1e-3) | (frac > 1.0 - 1e-3)
+        # absorption edge: off within a band of the 1.0+ulp rounding point
+        mask |= (off > 1e-17) & (off < 1e-15)
+        # GL clamp boundary
+        mask |= np.any(np.abs(gt_prob + 99.999) < 5e-3, axis=1)
         return mask
 
-    def call_block(self, counts2, qual_sum, mapq2_sum, ref_codes):
+    def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes):
         """counts2 [sz,2,8], qual_sum [sz,8], mapq2_sum [sz],
-        ref_codes [sz] (position-aligned reference base codes).
-        Returns list[SiteCall|None] of length sz."""
+        ref_codes [sz]. Returns a dict of position-major arrays:
+        covered [sz] bool; counts [sz,8]; quals [sz,8]; mq, aq [sz];
+        gt_prob [sz,10] f64; max_gt [sz]; fs [sz] f64."""
         agg = aggregate_pileup(counts2, qual_sum, mapq2_sum)
         counts = agg["counts"]
         n = agg["n"]
-        covered = np.nonzero(n > 0)[0]
-        out: List[Optional[SiteCall]] = [None] * len(n)
-        if len(covered) == 0:
-            return out
-        ccounts = counts[covered]
-        cquals = agg["quals"][covered]
-        cref = np.asarray(ref_codes, dtype=np.int32)[covered]
-        gt_prob, max_gt, margin = self._call_batch(
-            ccounts.astype(np.int32), cquals, cref
-        )
-        if self.cfg.exact and self._jax is not None:
-            mask = self._rescue_mask(gt_prob, max_gt, margin, ccounts)
-            for j in np.nonzero(mask)[0]:
-                gt_prob[j], max_gt[j] = oracle.calc_gt_prob(
-                    ccounts[j],
-                    cquals[j],
-                    int(cref[j]),
-                    self.cfg.under_conv,
-                    self.cfg.over_conv,
-                    self.cfg.ref_bias,
-                )
-        fs = fisher_strand(
-            counts2[covered], max_gt, not self.cfg.reference_quirks
-        )
-        for idx, j in enumerate(covered):
+        sz = len(n)
+        covered_mask = n > 0
+        covered = np.nonzero(covered_mask)[0]
+        gt_prob_full = np.zeros((sz, 10), dtype=np.float64)
+        max_gt_full = np.zeros(sz, dtype=np.int32)
+        fs_full = np.zeros(sz, dtype=np.float64)
+        if len(covered):
+            ccounts = counts[covered]
+            cquals = agg["quals"][covered]
+            cref = np.asarray(ref_codes, dtype=np.int32)[covered]
+            gt_prob, max_gt, margin, _off = self._call_batch(
+                ccounts.astype(np.int32), cquals, cref
+            )
+            fs = fisher_strand(
+                counts2[covered], max_gt, not self.cfg.reference_quirks
+            )
+            gt_prob_full[covered] = gt_prob
+            max_gt_full[covered] = max_gt
+            fs_full[covered] = fs
+        return {
+            "covered": covered_mask,
+            "counts": counts,
+            "quals": agg["quals"],
+            "mq": agg["mq"],
+            "aq": agg["aq"],
+            "gt_prob": gt_prob_full,
+            "max_gt": max_gt_full,
+            "fs": fs_full,
+        }
+
+    def call_block(self, counts2, qual_sum, mapq2_sum, ref_codes):
+        """Object view of call_block_soa for the scalar emitter path."""
+        soa = self.call_block_soa(counts2, qual_sum, mapq2_sum, ref_codes)
+        out: List[Optional[SiteCall]] = [None] * len(soa["covered"])
+        for j in np.nonzero(soa["covered"])[0]:
             out[j] = SiteCall(
-                counts=counts[j],
-                quals=agg["quals"][j],
-                gt_prob=gt_prob[idx],
-                fisher_strand=fs[idx],
-                mq=int(agg["mq"][j]),
-                aq=int(agg["aq"][j]),
-                max_gt=int(max_gt[idx]),
+                counts=soa["counts"][j],
+                quals=soa["quals"][j],
+                gt_prob=soa["gt_prob"][j],
+                fisher_strand=soa["fs"][j],
+                mq=int(soa["mq"][j]),
+                aq=int(soa["aq"][j]),
+                max_gt=int(soa["max_gt"][j]),
             )
         return out

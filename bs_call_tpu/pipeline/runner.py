@@ -73,6 +73,19 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     emitter = SiteEmitter(
         cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
     )
+    # fast block-vectorized emission is available for plain-text output
+    # without stats/dbSNP; small or edge blocks still use the scalar path
+    vector_emitter = None
+    if (
+        stats is None
+        and dbsnp is None
+        and isinstance(writer, VcfTextWriter)
+        and cfg.out_file_type in (C.FT_VCF, C.FT_UNKN)
+    ):
+        from bs_call_tpu.output.vector_site import VectorBlockEmitter
+
+        vector_emitter = VectorBlockEmitter(cfg, out_fileobj)
+    emitter.vector = vector_emitter
     engine = CallEngine(cfg)
     native = _try_native(cfg, table)
     if native is not None:
@@ -88,6 +101,38 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     if close_out:
         out_fileobj.close()
     return stats, table
+
+
+def _emit_block(
+    cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window, x, y
+):
+    """Run the calling engine on one block and emit its sites, choosing the
+    vectorized path when eligible."""
+    ve = getattr(emitter, "vector", None)
+    sz = y - x + 1
+    # NOTE: for blocks starting at x < 5 the reference's lag pipeline can
+    # carry stale genotype slots from the previous contig into the first
+    # pushes (print_vcf.c:563-570 shifts without clearing); that emits
+    # degenerate rows (positions <= 0) in the reference. The vectorized
+    # path assumes a clean lag state instead — a deliberate divergence.
+    if (
+        ve is not None
+        and sz >= 9
+        and not getattr(ctg, "regions", None)
+    ):
+        soa = engine.call_block_soa(
+            counts2, qual_sum, mapq2_sum, ref_window[:sz]
+        )
+        ve.old_ctg = emitter.old_ctg
+        ve.old_x = emitter.old_x
+        ve.emit_block(ctg, soa, ref_window, x, y)
+        emitter.old_ctg = ve.old_ctg
+        emitter.old_x = ve.old_x
+        return
+    calls = engine.call_block(counts2, qual_sum, mapq2_sum, ref_window[:sz])
+    for i, call in enumerate(calls):
+        emitter.push(ctg, call, ref_window, x + i, x, skip=call is None)
+    emitter.flush()
 
 
 def _try_native(cfg, table):
@@ -160,15 +205,10 @@ def process_contig_blocks_native(
             if stats is not None:
                 stats.grow_meth_profile(blk["max_pos"] + 1)
                 npipe.block_meth_profile(ref_window, stats.meth_profile)
-            calls = engine.call_block(
-                blk["counts2"], blk["qual_sum"], blk["mapq2_sum"],
-                ref_window[:sz],
+            _emit_block(
+                cfg, engine, emitter, ctg, blk["counts2"],
+                blk["qual_sum"], blk["mapq2_sum"], ref_window, x, y,
             )
-            for i, call in enumerate(calls):
-                emitter.push(
-                    ctg, call, ref_window, x + i, x, skip=call is None
-                )
-            emitter.flush()
         if stats is not None:
             fc, fb, bf = npipe.get_stats()
             stats.filter_cts += fc
@@ -213,11 +253,7 @@ def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):
         counts2, qual_sum, mapq2_sum = build_pileup(
             block.align_list, x, y, cfg.min_qual
         )
-        calls = engine.call_block(
-            counts2, qual_sum, mapq2_sum, ref_window[:sz]
+        _emit_block(
+            cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum,
+            ref_window, x, y,
         )
-        for i, call in enumerate(calls):
-            emitter.push(
-                ctg, call, ref_window, x + i, x, skip=call is None
-            )
-        emitter.flush()

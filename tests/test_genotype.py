@@ -43,7 +43,7 @@ def oracle_batch(counts, quals, ref):
 def test_matches_oracle_f64(seed):
     rng = np.random.default_rng(seed)
     counts, quals, ref = random_cases(rng, 500)
-    gt_prob, max_gt, margin = call_genotypes(
+    gt_prob, max_gt, margin, _ = call_genotypes(
         counts, quals, ref, PARAMS, dtype=jnp.float64
     )
     gt_prob, max_gt, margin = map(np.asarray, (gt_prob, max_gt, margin))
@@ -59,7 +59,7 @@ def test_matches_oracle_f64(seed):
 def test_matches_oracle_f32_tolerance():
     rng = np.random.default_rng(42)
     counts, quals, ref = random_cases(rng, 2000)
-    gt_prob, max_gt, margin = call_genotypes(
+    gt_prob, max_gt, margin, _ = call_genotypes(
         counts, quals, ref, PARAMS, dtype=jnp.float32
     )
     gt_prob, max_gt, margin = map(np.asarray, (gt_prob, max_gt, margin))
@@ -77,7 +77,7 @@ def test_empty_position():
     counts = np.zeros((1, 8), dtype=np.int32)
     quals = np.zeros((1, 8), dtype=np.int32)
     ref = np.array([2], dtype=np.int32)
-    gt_prob, max_gt, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
+    gt_prob, max_gt, _, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
     want_prob, want_gt = oracle.calc_gt_prob(counts[0], quals[0], 2, 0.01, 0.05, 2.0)
     assert int(max_gt[0]) == want_gt == 4  # CC favored by ref prior
     np.testing.assert_allclose(np.asarray(gt_prob)[0], want_prob, rtol=1e-12)
@@ -87,7 +87,7 @@ def test_high_depth_homozygote():
     counts = np.array([[0, 100, 0, 0, 0, 0, 0, 0]], dtype=np.int32)
     quals = np.array([[0, 40, 0, 0, 0, 0, 0, 0]], dtype=np.int32)
     ref = np.array([2], dtype=np.int32)
-    _, max_gt, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
+    _, max_gt, _, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
     assert int(max_gt[0]) == 4  # CC
 
 
@@ -96,7 +96,7 @@ def test_informative_counts_drive_meth_genotypes():
     counts = np.array([[0, 0, 0, 0, 0, 10, 0, 3]], dtype=np.int32)
     quals = np.array([[0, 0, 0, 0, 0, 35, 0, 35]], dtype=np.int32)
     ref = np.array([2], dtype=np.int32)
-    gt_prob, max_gt, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
+    gt_prob, max_gt, _, _ = call_genotypes(counts, quals, ref, PARAMS, dtype=jnp.float64)
     want_prob, want_gt = oracle.calc_gt_prob(counts[0], quals[0], 2, 0.01, 0.05, 2.0)
     assert int(max_gt[0]) == want_gt
     np.testing.assert_allclose(np.asarray(gt_prob)[0], want_prob, rtol=1e-10)
@@ -110,7 +110,7 @@ def test_z_clamping_edges():
         counts[0, 7] = c7
         quals = np.where(counts > 0, 30, 0).astype(np.int32)
         ref = np.array([2], dtype=np.int32)
-        gt_prob, max_gt, margin = call_genotypes(
+        gt_prob, max_gt, margin, _ = call_genotypes(
             counts, quals, ref, PARAMS, dtype=jnp.float64
         )
         want_prob, want_gt = oracle.calc_gt_prob(

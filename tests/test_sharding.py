@@ -37,7 +37,7 @@ def test_sharded_matches_single_device(batch):
     step = sharded_call_step(mesh, params)
     sc, sq, sr = shard_positions(mesh, counts, quals, ref)
     gt_prob, mx, cg, gt_hist, cov_hist = step(sc, sq, sr)
-    want_prob, want_mx, _ = call_genotypes(
+    want_prob, want_mx, _, _ = call_genotypes(
         counts, quals, ref, params, dtype=jnp.float32
     )
     np.testing.assert_allclose(
