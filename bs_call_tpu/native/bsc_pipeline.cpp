@@ -876,6 +876,37 @@ struct Pipeline {
         }
     }
 
+    // per-position aggregation (call_genotypes.c:45-59 float32 semantics)
+    void aggregate(const int32_t *counts2, const float *qual_sum,
+                   const float *mapq2, int32_t *counts8, int32_t *quals8,
+                   int32_t *mq, int32_t *aq, int32_t *ntot) const {
+        int64_t sz = (int64_t)blk_y - blk_x + 1;
+        for (int64_t i = 0; i < sz; i++) {
+            int64_t n = 0;
+            float tot_qual = 0.0f;
+            for (int j = 0; j < 8; j++) {
+                int32_t c =
+                    counts2[i * 16 + j] + counts2[i * 16 + 8 + j];
+                counts8[i * 8 + j] = c;
+                if (c > 0) {
+                    float q = qual_sum[i * 8 + j];
+                    tot_qual += q;
+                    quals8[i * 8 + j] =
+                        (int32_t)floorf(0.5f + q / (float)c);
+                } else quals8[i * 8 + j] = 0;
+                n += c;
+            }
+            ntot[i] = (int32_t)n;
+            if (n > 0) {
+                aq[i] = (int32_t)floorf(0.5f + tot_qual / (float)n);
+                mq[i] = (int32_t)(0.5 + sqrt((double)(mapq2[i] / (float)n)));
+            } else {
+                aq[i] = 0;
+                mq[i] = 0;
+            }
+        }
+    }
+
     // --- methylation read profile (stats/meth_profile.py) ---
 
     void meth_profile(const uint8_t *ref, int64_t ref_len, int64_t *mprof,
@@ -1003,6 +1034,14 @@ void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
 void bsp_block_meth_profile(void *h, const uint8_t *ref, int64_t ref_len,
                             int64_t *mprof, int64_t rows) {
     ((Pipeline *)h)->meth_profile(ref, ref_len, mprof, rows);
+}
+
+void bsp_block_aggregate(void *h, const int32_t *counts2,
+                         const float *qual_sum, const float *mapq2,
+                         int32_t *counts8, int32_t *quals8, int32_t *mq,
+                         int32_t *aq, int32_t *ntot) {
+    ((Pipeline *)h)->aggregate(counts2, qual_sum, mapq2, counts8, quals8,
+                               mq, aq, ntot);
 }
 
 void bsp_get_stats(void *h, int64_t *filter_cts, int64_t *filter_bases,

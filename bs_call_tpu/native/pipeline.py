@@ -75,6 +75,25 @@ class NativePipeline:
             qual_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             mapq2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
+        # aggregated per-position stats (call_thread semantics) computed
+        # natively so Python skips aggregate_pileup
+        counts8 = np.empty((sz, 8), np.int32)
+        quals8 = np.empty((sz, 8), np.int32)
+        mq = np.empty(sz, np.int32)
+        aq = np.empty(sz, np.int32)
+        ntot = np.empty(sz, np.int32)
+        i32p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))  # noqa: E731
+        self._lib.bsp_block_aggregate(
+            ctypes.c_void_p(self._h),
+            i32p(counts2),
+            qual_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mapq2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            i32p(counts8),
+            i32p(quals8),
+            i32p(mq),
+            i32p(aq),
+            i32p(ntot),
+        )
         return {
             "tid": tid,
             "x": x,
@@ -84,6 +103,13 @@ class NativePipeline:
             "counts2": counts2,
             "qual_sum": qual_sum,
             "mapq2_sum": mapq2,
+            "agg": {
+                "counts": counts8,
+                "quals": quals8,
+                "mq": mq,
+                "aq": aq,
+                "n": ntot,
+            },
         }
 
     def block_meth_profile(self, ref_window: np.ndarray, mprof: np.ndarray):

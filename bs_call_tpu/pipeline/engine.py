@@ -143,12 +143,15 @@ class CallEngine:
         mask |= np.any(np.abs(gt_prob + 99.999) < 5e-3, axis=1)
         return mask
 
-    def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes):
+    def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes,
+                       agg=None):
         """counts2 [sz,2,8], qual_sum [sz,8], mapq2_sum [sz],
         ref_codes [sz]. Returns a dict of position-major arrays:
         covered [sz] bool; counts [sz,8]; quals [sz,8]; mq, aq [sz];
-        gt_prob [sz,10] f64; max_gt [sz]; fs [sz] f64."""
-        agg = aggregate_pileup(counts2, qual_sum, mapq2_sum)
+        gt_prob [sz,10] f64; max_gt [sz]; fs [sz] f64.
+        `agg` may carry natively precomputed aggregates."""
+        if agg is None:
+            agg = aggregate_pileup(counts2, qual_sum, mapq2_sum)
         counts = agg["counts"]
         n = agg["n"]
         sz = len(n)
@@ -181,9 +184,11 @@ class CallEngine:
             "fs": fs_full,
         }
 
-    def call_block(self, counts2, qual_sum, mapq2_sum, ref_codes):
+    def call_block(self, counts2, qual_sum, mapq2_sum, ref_codes, agg=None):
         """Object view of call_block_soa for the scalar emitter path."""
-        soa = self.call_block_soa(counts2, qual_sum, mapq2_sum, ref_codes)
+        soa = self.call_block_soa(
+            counts2, qual_sum, mapq2_sum, ref_codes, agg=agg
+        )
         out: List[Optional[SiteCall]] = [None] * len(soa["covered"])
         for j in np.nonzero(soa["covered"])[0]:
             out[j] = SiteCall(

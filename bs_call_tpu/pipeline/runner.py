@@ -104,7 +104,8 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
 
 
 def _emit_block(
-    cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window, x, y
+    cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window,
+    x, y, agg=None,
 ):
     """Run the calling engine on one block and emit its sites, choosing the
     vectorized path when eligible."""
@@ -121,7 +122,7 @@ def _emit_block(
         and not getattr(ctg, "regions", None)
     ):
         soa = engine.call_block_soa(
-            counts2, qual_sum, mapq2_sum, ref_window[:sz]
+            counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
         )
         ve.old_ctg = emitter.old_ctg
         ve.old_x = emitter.old_x
@@ -129,7 +130,9 @@ def _emit_block(
         emitter.old_ctg = ve.old_ctg
         emitter.old_x = ve.old_x
         return
-    calls = engine.call_block(counts2, qual_sum, mapq2_sum, ref_window[:sz])
+    calls = engine.call_block(
+        counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
+    )
     for i, call in enumerate(calls):
         emitter.push(ctg, call, ref_window, x + i, x, skip=call is None)
     emitter.flush()
@@ -208,6 +211,7 @@ def process_contig_blocks_native(
             _emit_block(
                 cfg, engine, emitter, ctg, blk["counts2"],
                 blk["qual_sum"], blk["mapq2_sum"], ref_window, x, y,
+                agg=blk.get("agg"),
             )
         if stats is not None:
             fc, fb, bf = npipe.get_stats()
