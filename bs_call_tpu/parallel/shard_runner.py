@@ -1,0 +1,178 @@
+"""Sharded whole-genome execution.
+
+The reference parallelizes whole-genome runs externally: one bs_call
+process per contig group, uniform headers via -s, then `bcftools concat`
+(README.md:73-76, process_sam_header.c:52-70). This module makes that a
+first-class operation: contigs are partitioned across worker processes
+(greedy longest-processing-time balancing), each worker runs the caller
+restricted to its shard with a uniform header, and the driver concatenates
+the VCFs in header contig order and merges the JSON stats (BsStats.merge —
+the host-side psum).
+
+On a multi-host TPU deployment each host runs one worker set against its
+local chip(s); the stats merge and concatenation are the only cross-host
+steps.
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import pickle
+import tempfile
+from dataclasses import replace
+from typing import List, Optional, Tuple
+
+from bs_call_tpu.config import CallerConfig
+
+
+def partition_contigs(
+    names_lens: List[Tuple[str, int]], n_shards: int
+) -> List[List[str]]:
+    """Greedy LPT partition by contig length."""
+    shards: List[List[str]] = [[] for _ in range(n_shards)]
+    loads = [0] * n_shards
+    for name, ln in sorted(names_lens, key=lambda t: -t[1]):
+        i = loads.index(min(loads))
+        shards[i].append(name)
+        loads[i] += ln
+    return [s for s in shards if s]
+
+
+def _worker(args):
+    (cfg_dict, shard_names, sizes_path, out_path, want_stats) = args
+    cfg = CallerConfig(**cfg_dict)
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".bed", delete=False
+    ) as bed:
+        # whole-contig regions: 0-based bed covering each contig fully
+        sizes = {}
+        with open(sizes_path) as f:
+            for line in f:
+                n, ln = line.split("\t")[:2]
+                sizes[n] = int(ln)
+        for name in shard_names:
+            bed.write(f"{name}\t0\t{sizes[name]}\n")
+        bed_path = bed.name
+    try:
+        cfg.contig_bed = bed_path
+        cfg.contig_sizes = sizes_path
+        cfg.output_file = out_path
+        stats = None
+        if want_stats:
+            from bs_call_tpu.stats.collect import BsStats
+
+            stats = BsStats()
+        from bs_call_tpu.pipeline.runner import run_caller
+
+        stats, table = run_caller(cfg, stats=stats)
+        ctg_stats = {
+            c.name: c.ctg_stats for c in table.contigs if c.ctg_stats
+        }
+        return pickle.dumps((stats, ctg_stats))
+    finally:
+        os.unlink(bed_path)
+
+
+def run_sharded(
+    cfg: CallerConfig,
+    n_shards: int,
+    output_file: str,
+    collect_stats: bool = False,
+    pool: Optional[object] = None,
+):
+    """Run the caller across n_shards worker processes and concatenate.
+    Returns (merged_stats, per_contig_stats) when collect_stats."""
+    from bs_call_tpu.io.fasta import FastaIndex
+    from bs_call_tpu.io.sam import open_alignment_file
+
+    reader = open_alignment_file(cfg.input_file, native=False)
+    fasta = FastaIndex(cfg.reference_file)
+    # contig universe = reference ∩ SAM header (the no -C/-s reconcile)
+    header_names = set(reader.header.ref_names)
+    universe = [
+        (e.name, e.length)
+        for e in fasta.entries
+        if e.name in header_names
+    ]
+    if hasattr(reader, "close"):
+        reader.close()
+    shards = partition_contigs(universe, n_shards)
+    tmpdir = tempfile.mkdtemp(prefix="bs_call_shards_")
+    sizes_path = os.path.join(tmpdir, "sizes.txt")
+    with open(sizes_path, "w") as f:
+        for name, ln in universe:
+            f.write(f"{name}\t{ln}\n")
+    cfg_dict = {
+        k: getattr(cfg, k)
+        for k in CallerConfig.__dataclass_fields__
+    }
+    cfg_dict["output_file"] = None
+    jobs = []
+    for i, shard in enumerate(shards):
+        out_path = os.path.join(tmpdir, f"shard{i}.vcf")
+        jobs.append((dict(cfg_dict), shard, sizes_path, out_path, collect_stats))
+    if pool is None:
+        # spawn: forking after JAX/TPU backend initialization deadlocks
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(len(jobs)) as p:
+            results = p.map(_worker, jobs)
+    else:
+        results = pool.map(_worker, jobs)
+    # merge stats
+    merged = None
+    ctg_stats_all = {}
+    if collect_stats:
+        for blob in results:
+            stats, ctg_stats = pickle.loads(blob)
+            if merged is None:
+                merged = stats
+            else:
+                merged.merge(stats)
+            ctg_stats_all.update(ctg_stats)
+    # concatenate in header contig order
+    order = {name: i for i, (name, _) in enumerate(universe)}
+    shard_order = sorted(
+        range(len(shards)), key=lambda i: min(order[n] for n in shards[i])
+    )
+    concat_vcfs(
+        [os.path.join(tmpdir, f"shard{i}.vcf") for i in shard_order],
+        output_file,
+        contig_order=[n for n, _ in universe],
+    )
+    return merged, ctg_stats_all
+
+
+def concat_vcfs(paths: List[str], output: str, contig_order=None):
+    """Concatenate uniform-header VCFs (the `bcftools concat -n`
+    analogue): header from the first file, records from all, re-sorted by
+    (contig order, position) across files when contig_order is given."""
+    header_done = False
+    records: List[tuple] = []
+    order = (
+        {n: i for i, n in enumerate(contig_order)} if contig_order else None
+    )
+    with open(output, "wb") as out:
+        for p in paths:
+            with open(p, "rb") as f:
+                for line in f:
+                    if line.startswith(b"#"):
+                        if not header_done:
+                            out.write(line)
+                        continue
+                    if order is None:
+                        out.write(line)
+                    else:
+                        fld = line.split(b"\t", 2)
+                        records.append(
+                            (
+                                order.get(fld[0].decode(), 1 << 30),
+                                int(fld[1]),
+                                line,
+                            )
+                        )
+                header_done = True
+        if order is not None:
+            records.sort(key=lambda t: (t[0], t[1]))
+            for _, _, line in records:
+                out.write(line)

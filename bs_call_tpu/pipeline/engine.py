@@ -69,42 +69,30 @@ class CallEngine:
                 np.zeros(0),
                 np.zeros(0),
             )
-        if self._jax is None:
-            gt_prob, max_gt, margin, off = call_genotypes_np(
-                counts, quals, ref,
-                self.cfg.under_conv, self.cfg.over_conv, self.cfg.ref_bias,
-            )
+        if self.cfg.exact or self._jax is None:
+            # Exact mode computes the model in vectorized float64 on the
+            # host: printed GL fields carry ~6 significant digits, which a
+            # float32 device result cannot reproduce reliably (its ll-sum
+            # error is ~1e-4 relative). A float32-pair ("df32") device
+            # path that restores f64-equivalent precision on TPU is the
+            # planned replacement. The f64 batch runs XLA-jitted on the
+            # host CPU backend when available, else NumPy.
+            res = self._call_f64_cpu(counts, quals, ref)
+            if res is not None:
+                gt_prob, max_gt, margin, off = res
+            else:
+                gt_prob, max_gt, margin, off = call_genotypes_np(
+                    counts, quals, ref,
+                    self.cfg.under_conv, self.cfg.over_conv,
+                    self.cfg.ref_bias,
+                )
         else:
-            jax, jnp, call_genotypes = self._jax
-            bp = self.cfg.batch_positions
-            pad = (-n) % min(bp, max(256, 1 << (n - 1).bit_length()))
-            ck, qk, rk = counts, quals, ref
-            if pad:
-                ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
-                qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
-                rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-            gt_prob, max_gt, margin, off = call_genotypes(
-                jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
-                self._params, dtype=jnp.float32,
+            jax, jnp, _ = self._jax
+            gt_prob, max_gt, margin, off = self._chunked_call(
+                counts, quals, ref, jnp.float32
             )
-            gt_prob = np.array(gt_prob, dtype=np.float64)[:n]
-            max_gt = np.array(max_gt)[:n]
-            margin = np.array(margin, dtype=np.float64)[:n]
-            off = np.array(off, dtype=np.float64)[:n]
-            if self.cfg.exact:
-                flag = self._rescue_mask(gt_prob, margin, off)
-                if flag.any():
-                    fi = np.nonzero(flag)[0]
-                    gp, mg, mr, of = call_genotypes_np(
-                        counts[fi], quals[fi], ref[fi],
-                        self.cfg.under_conv, self.cfg.over_conv,
-                        self.cfg.ref_bias,
-                    )
-                    gt_prob[fi] = gp
-                    max_gt[fi] = mg
-                    margin[fi] = mr
-                    off[fi] = of
-        # C-style max-entry replacement (absorbing 1+off)
+        # C-style max-entry replacement (absorbing 1+off) so the GQ phred
+        # chain reproduces the reference's double-precision quantization
         idx = np.arange(n)
         gt_prob[idx, max_gt] = -np.log(1.0 + off) / LOG10
         if self.cfg.exact:
@@ -120,28 +108,50 @@ class CallEngine:
                 )
         return gt_prob, max_gt, margin, off
 
-    def _rescue_mask(self, gt_prob, margin, off):
-        """Positions whose f32 result is too close to a decision boundary:
-        argmax margin, GQ phred integer boundary, 1+off absorption edge,
-        or the GL clamp at -99.999."""
-        n = len(margin)
-        mask = margin < 0.05
-        # phred boundary from the C chain
-        with np.errstate(divide="ignore", over="ignore"):
-            summ = 1.0 + off
-            z = -np.log(summ) / LOG10
-            z1 = np.exp(z * LOG10)
-            one_minus = 1.0 - z1
-            ph = np.where(
-                one_minus > 0, -10.0 * np.log(one_minus) / LOG10, 256.0
+
+    def _chunked_call(self, counts, quals, ref, dtype):
+        """Run the jitted kernel over fixed-size chunks so exactly one
+        shape is ever compiled per dtype."""
+        jax, jnp, call_genotypes = self._jax
+        bp = self.cfg.batch_positions
+        n = len(ref)
+        gt_prob = np.empty((n, 10), dtype=np.float64)
+        max_gt = np.empty(n, dtype=np.int32)
+        margin = np.empty(n, dtype=np.float64)
+        off = np.empty(n, dtype=np.float64)
+        for s in range(0, n, bp):
+            e = min(s + bp, n)
+            ck, qk, rk = counts[s:e], quals[s:e], ref[s:e]
+            pad = bp - (e - s)
+            if pad:
+                ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
+                qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
+                rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
+            gp, mg, mr, of = call_genotypes(
+                jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
+                self._params, dtype=dtype,
             )
-        frac = ph - np.floor(ph)
-        mask |= (frac < 1e-3) | (frac > 1.0 - 1e-3)
-        # absorption edge: off within a band of the 1.0+ulp rounding point
-        mask |= (off > 1e-17) & (off < 1e-15)
-        # GL clamp boundary
-        mask |= np.any(np.abs(gt_prob + 99.999) < 5e-3, axis=1)
-        return mask
+            m = e - s
+            gt_prob[s:e] = np.asarray(gp)[:m]
+            max_gt[s:e] = np.asarray(mg)[:m]
+            margin[s:e] = np.asarray(mr)[:m]
+            off[s:e] = np.asarray(of)[:m]
+        return gt_prob, max_gt, margin, off
+
+    def _call_f64_cpu(self, counts, quals, ref):
+        """Float64 batch on the host CPU backend (XLA-jitted); None if
+        unavailable."""
+        if self._jax is None:
+            return None
+        jax, jnp, call_genotypes = self._jax
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+        with jax.default_device(cpu):
+            return self._chunked_call(counts, quals, ref, jnp.float64)
 
     def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes,
                        agg=None):

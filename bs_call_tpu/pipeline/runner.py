@@ -116,11 +116,10 @@ def _emit_block(
     # pushes (print_vcf.c:563-570 shifts without clearing); that emits
     # degenerate rows (positions <= 0) in the reference. The vectorized
     # path assumes a clean lag state instead — a deliberate divergence.
-    if (
-        ve is not None
-        and sz >= 9
-        and not getattr(ctg, "regions", None)
-    ):
+    regions_ok = not getattr(ctg, "regions", None) or all(
+        r.start <= 1 and r.stop >= ctg.seq_len for r in ctg.regions
+    )
+    if ve is not None and sz >= 9 and regions_ok:
         soa = engine.call_block_soa(
             counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
         )
@@ -138,10 +137,22 @@ def _emit_block(
     emitter.flush()
 
 
+def _whole_contig_regions(table) -> bool:
+    """True when every -C region spans a full contig — then region
+    selection degenerates to contig selection, which the native pipeline
+    and the vectorized emitter handle via tid_keep."""
+    return bool(table.regions) and all(
+        r.start <= 1 and r.stop >= r.ctg.seq_len for r in table.regions
+    )
+
+
 def _try_native(cfg, table):
-    """The C++ pipeline handles whole-file BAM runs (regions go through
-    the Python path, which pre-filters the record stream)."""
-    if cfg.device == "numpy" or table.regions or not cfg.input_file:
+    """The C++ pipeline handles whole-file BAM runs and whole-contig
+    shard runs (partial regions go through the Python path, which
+    pre-filters the record stream)."""
+    if cfg.device == "numpy" or not cfg.input_file:
+        return None
+    if table.regions and not _whole_contig_regions(table):
         return None
     try:
         from bs_call_tpu.io.bgzf import is_gzip
@@ -158,16 +169,25 @@ def _try_native(cfg, table):
     with gzip.open(cfg.input_file, "rb") as f:
         if f.read(4) != b"BAM\x01":
             return None
-    max_tid = max((c.bam_tid for c in table.contigs), default=-1)
-    tid_keep = np.zeros(max_tid + 1, dtype=np.int8)
-    for c in table.contigs:
-        tid_keep[c.bam_tid] = 1
+    tid_keep = _tid_keep(table)
     try:
         return NativePipeline(
             cfg.input_file, cfg, tid_keep, collect_stats=False
         )
     except (RuntimeError, ValueError):
         return None
+
+
+def _tid_keep(table):
+    """int8 mask over bam tids of contigs to process; with regions, only
+    contigs that actually have a region are processed."""
+    max_tid = max((c.bam_tid for c in table.contigs), default=-1)
+    tid_keep = np.zeros(max_tid + 1, dtype=np.int8)
+    for c in table.contigs:
+        if table.regions and not c.regions:
+            continue
+        tid_keep[c.bam_tid] = 1
+    return tid_keep
 
 
 def process_contig_blocks_native(
@@ -180,12 +200,8 @@ def process_contig_blocks_native(
         npipe.close()
         from bs_call_tpu.native.pipeline import NativePipeline
 
-        max_tid = max((c.bam_tid for c in table.contigs), default=-1)
-        tid_keep = np.zeros(max_tid + 1, dtype=np.int8)
-        for c in table.contigs:
-            tid_keep[c.bam_tid] = 1
         npipe = NativePipeline(
-            cfg.input_file, cfg, tid_keep, collect_stats=True
+            cfg.input_file, cfg, _tid_keep(table), collect_stats=True
         )
     contig_seq = None
     try:

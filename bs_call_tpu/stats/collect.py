@@ -13,6 +13,11 @@ from typing import Dict, List
 import numpy as np
 
 
+def _pair():
+    """Picklable defaultdict factory (shard workers return stats)."""
+    return [0, 0]
+
+
 @dataclass
 class CovStats:
     """Per-coverage-depth counters (bs_call.h:87-95)."""
@@ -62,9 +67,9 @@ class BsStats:
         self.CpG_nonref_meth = np.zeros((2, 101), dtype=np.float64)
         self.cov_stats: Dict[int, CovStats] = defaultdict(CovStats)
         # QC distributions: value -> [nonvariant, variant]
-        self.fs_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
-        self.qd_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
-        self.mq_stats: Dict[int, List[int]] = defaultdict(lambda: [0, 0])
+        self.fs_stats: Dict[int, List[int]] = defaultdict(_pair)
+        self.qd_stats: Dict[int, List[int]] = defaultdict(_pair)
+        self.mq_stats: Dict[int, List[int]] = defaultdict(_pair)
         # meth profile: per original-read-position conversion counts a,b,c,d.
         # The array carries one slack row beyond `meth_profile_used`: the
         # reference's reverse-segment accumulation writes one row past the

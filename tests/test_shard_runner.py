@@ -1,0 +1,114 @@
+"""Sharded execution invariant: per-contig shards produce the same records
+and merged stats as a single-process run (SURVEY §4.3)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.bam import BamHeader, BamWriter
+from bs_call_tpu.parallel.shard_runner import partition_contigs, run_sharded
+from bs_call_tpu.pipeline.runner import run_caller
+from bs_call_tpu.stats.collect import BsStats
+
+
+def make_fixture(tmp_path, n_contigs=3, seed=0):
+    rng = np.random.default_rng(seed)
+    lens = [2000, 1500, 1000][:n_contigs]
+    seqs = ["".join(rng.choice(list("ACGT"), ln)) for ln in lens]
+    names = [f"chr{i+1}" for i in range(n_contigs)]
+    ref = tmp_path / "ref.fa"
+    with open(ref, "w") as f:
+        for name, seq in zip(names, seqs):
+            f.write(f">{name}\n")
+            for i in range(0, len(seq), 60):
+                f.write(seq[i : i + 60] + "\n")
+    bam = tmp_path / "in.bam"
+    hdr_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(names, lens)
+    )
+    hdr = BamHeader(text=hdr_text, ref_names=names, ref_lens=lens)
+    w = BamWriter(str(bam), hdr)
+    rn = 0
+    for tid, (seq, ln) in enumerate(zip(seqs, lens)):
+        starts = np.sort(rng.integers(0, ln - 80, 150))
+        for pos in starts:
+            pos = int(pos)
+            rlen = int(rng.integers(40, 70))
+            rseq = list(seq[pos : pos + rlen])
+            mm = rng.random(rlen) < 0.03
+            bases = "ACGT"
+            for i in np.nonzero(mm)[0]:
+                rseq[i] = bases[int(rng.integers(0, 4))]
+            q = rng.integers(15, 44, rlen).astype(np.uint8)
+            w.write(
+                f"r{rn}", 0, tid, pos, int(rng.integers(30, 60)),
+                [(rlen, 0)], -1, -1, 0, "".join(rseq), q,
+            )
+            rn += 1
+    w.close()
+    return str(ref), str(bam)
+
+
+def test_partition_balance():
+    shards = partition_contigs(
+        [("a", 100), ("b", 90), ("c", 50), ("d", 40)], 2
+    )
+    assert len(shards) == 2
+    assert {n for s in shards for n in s} == {"a", "b", "c", "d"}
+
+
+def records_of(path_or_bytes):
+    if isinstance(path_or_bytes, bytes):
+        text = path_or_bytes.decode()
+    else:
+        text = open(path_or_bytes).read()
+    return [l for l in text.splitlines() if not l.startswith("#")]
+
+
+def test_sharded_matches_single(tmp_path):
+    ref, bam = make_fixture(tmp_path)
+    cfg = CallerConfig(
+        input_file=bam, reference_file=ref, benchmark_mode=True
+    )
+    out = io.BytesIO()
+    single_stats = BsStats()
+    run_caller(cfg, out_fileobj=out, stats=single_stats)
+    single = records_of(out.getvalue())
+
+    out_path = str(tmp_path / "merged.vcf")
+    # workers use the numpy float64 engine: avoids spawned processes
+    # touching the (single) accelerator and cross-validates the tiered
+    # exactness scheme against pure float64
+    cfg2 = CallerConfig(
+        input_file=bam, reference_file=ref, benchmark_mode=True,
+        device="numpy",
+    )
+    merged_stats, ctg_stats = run_sharded(
+        cfg2, 3, out_path, collect_stats=True
+    )
+    sharded = records_of(out_path)
+    assert len(single) == len(sharded)
+    assert single == sharded
+    # stats merge invariant
+    np.testing.assert_array_equal(
+        merged_stats.qual, single_stats.qual
+    )
+    np.testing.assert_array_equal(
+        merged_stats.mut_counts, single_stats.mut_counts
+    )
+    assert merged_stats.snps == single_stats.snps
+    assert merged_stats.CpG_ref == single_stats.CpG_ref
+    np.testing.assert_array_equal(
+        merged_stats.filter_counts, single_stats.filter_counts
+    )
+    cov_m = {k: v.all for k, v in merged_stats.cov_stats.items()}
+    cov_s = {k: v.all for k, v in single_stats.cov_stats.items()}
+    assert cov_m == cov_s
+    used = min(
+        merged_stats.meth_profile_used, single_stats.meth_profile_used
+    )
+    np.testing.assert_array_equal(
+        merged_stats.meth_profile[:used], single_stats.meth_profile[:used]
+    )
