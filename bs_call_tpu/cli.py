@@ -75,7 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--no-exact",
         action="store_true",
-        help="skip the float64 rescue pass (fastest, float32 only)",
+        help="float32 device model without the float64 pass (fastest; "
+        "GL may differ in the last printed digit, GQ near boundaries)",
+    )
+    p.add_argument(
+        "--shards",
+        type=int,
+        default=0,
+        help="run contig-sharded across N worker processes "
+        "(first-class version of the reference's per-contig runs + "
+        "bcftools concat)",
     )
     return p
 
@@ -144,9 +153,34 @@ def main(argv=None):
         )
         return 1
     if not args.input_file:
-        print("Error: reading from stdin is not supported yet", file=sys.stderr)
-        return 1
+        args.input_file = "-"
     cfg = args_to_config(args)
+    if args.shards and args.shards > 1:
+        if not cfg.output_file:
+            print("--shards requires -o", file=sys.stderr)
+            return 1
+        from bs_call_tpu.parallel.shard_runner import run_sharded
+
+        stats, ctg_stats = run_sharded(
+            cfg,
+            args.shards,
+            cfg.output_file,
+            collect_stats=bool(cfg.report_file),
+        )
+        if cfg.report_file and stats is not None:
+            from types import SimpleNamespace
+
+            from bs_call_tpu.stats.report import write_report
+
+            tbl = SimpleNamespace(
+                contigs=[
+                    SimpleNamespace(name=n, ctg_stats=cs)
+                    for n, cs in ctg_stats
+                ]
+            )
+            with open(cfg.report_file, "w") as f:
+                write_report(f, cfg, stats, tbl)
+        return 0
     stats = None
     if cfg.report_file:
         from bs_call_tpu.stats.collect import BsStats

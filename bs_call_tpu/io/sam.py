@@ -152,9 +152,30 @@ class SamReader:
 def open_alignment_file(path: str, native: bool = True, threads: int = 4):
     """Open SAM/BAM by sniffing content (process.c:112-137 analogue).
     BAM prefers the native C++ batch decoder when the toolchain is
-    available; falls back to the pure-Python reader."""
+    available; falls back to the pure-Python reader. path "-" reads SAM
+    (optionally gzip) or BAM from stdin."""
+    import gzip
+    import io as iomod
+    import sys
+
     from bs_call_tpu.io.bam import BamReader
 
+    if path == "-":
+        buf = iomod.BufferedReader(sys.stdin.buffer)
+        head = buf.peek(4)[:4]
+        if head[:2] == b"\x1f\x8b":
+            gz = gzip.GzipFile(fileobj=buf)
+            magic = gz.peek(4)[:4] if hasattr(gz, "peek") else b""
+            # BAM = gzip-wrapped binary with BAM\1 magic
+            probe = gz.read(4)
+            data = iomod.BytesIO(probe + gz.read())
+            if probe == b"BAM\x01":
+                raise NotImplementedError(
+                    "BAM from stdin is not supported yet; pass a file path"
+                )
+            data.seek(0)
+            return SamReader(iomod.BufferedReader(data))
+        return SamReader(buf)
     f = open_reader(path)
     magic = f.read(4)
     f.close()

@@ -140,7 +140,12 @@ def run_sharded(
         output_file,
         contig_order=[n for n, _ in universe],
     )
-    return merged, ctg_stats_all
+    ordered = [
+        (name, ctg_stats_all[name])
+        for name, _ in universe
+        if name in ctg_stats_all
+    ]
+    return merged, ordered
 
 
 def concat_vcfs(paths: List[str], output: str, contig_order=None):

@@ -150,7 +150,7 @@ def _try_native(cfg, table):
     """The C++ pipeline handles whole-file BAM runs and whole-contig
     shard runs (partial regions go through the Python path, which
     pre-filters the record stream)."""
-    if cfg.device == "numpy" or not cfg.input_file:
+    if cfg.device == "numpy" or not cfg.input_file or cfg.input_file == "-":
         return None
     if table.regions and not _whole_contig_regions(table):
         return None
