@@ -59,9 +59,66 @@ def bench_oracle(n=2000):
     return n / dt
 
 
+def bench_end_to_end(n_reads=30000, ctg_len=300_000):
+    """Full pipeline reads/s (fast mode) on a synthetic WGBS fixture;
+    reported to stderr for context."""
+    import os
+    import sys
+    import tempfile
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.io.bam import BamHeader, BamWriter
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    tmp = tempfile.mkdtemp(prefix="bsc_bench_")
+    rng = np.random.default_rng(0)
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = os.path.join(tmp, "ref.fa")
+    with open(ref, "w") as f:
+        f.write(">chr1\n")
+        for i in range(0, ctg_len, 60):
+            f.write(seq[i : i + 60] + "\n")
+    bam = os.path.join(tmp, "in.bam")
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"],
+        ref_lens=[ctg_len],
+    )
+    w = BamWriter(bam, hdr)
+    starts = np.sort(rng.integers(0, ctg_len - 160, n_reads))
+    q = rng.integers(20, 44, 150).astype(np.uint8)
+    for n, pos in enumerate(starts):
+        pos = int(pos)
+        w.write(
+            f"r{n}", 0, 0, pos, 60, [(150, 0)], -1, -1, 0,
+            seq[pos : pos + 150], q,
+        )
+    w.close()
+    out = open(os.devnull, "wb")
+    for exact in (True, False):
+        cfg = CallerConfig(
+            input_file=bam, reference_file=ref, benchmark_mode=True,
+            exact=exact,
+        )
+        t0 = time.perf_counter()
+        run_caller(cfg, out_fileobj=out)
+        dt = time.perf_counter() - t0
+        print(
+            f"end-to-end ({'exact' if exact else 'fast'}): "
+            f"{n_reads/dt:.0f} reads/s, {ctg_len/dt:.0f} positions/s",
+            file=sys.stderr,
+        )
+
+
 def main():
     pos_per_sec = bench_device()
     baseline = bench_oracle()
+    try:
+        bench_end_to_end()
+    except Exception as e:  # keep the headline metric robust
+        import sys
+
+        print(f"end-to-end bench failed: {e}", file=sys.stderr)
     print(
         json.dumps(
             {
