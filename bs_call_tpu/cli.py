@@ -114,7 +114,15 @@ def args_to_config(args) -> CallerConfig:
         ref_bias=args.reference_bias,
         device=args.device,
         exact=not args.no_exact,
+        verbose=args.verbose,
     )
+    if args.threads:
+        # reference takes calc[,input,output] extra threads; the native
+        # ingest pool is the analogue of the input share
+        try:
+            cfg.threads = max(1, int(str(args.threads).split(",")[0]))
+        except ValueError:
+            pass
     if args.conversion:
         parts = args.conversion.split(",")
         if len(parts) != 2:

@@ -39,6 +39,8 @@ class CallerConfig:
 
     # engine knobs (new in the TPU framework)
     device: str = "auto"           # "auto" | "tpu" | "cpu" | "numpy"
+    threads: int = 4               # native ingest worker threads (-t)
+    verbose: bool = False
     exact: bool = True             # run the float64 libm rescue pass
     reference_quirks: bool = True  # reproduce benign reference bugs for parity
     batch_positions: int = 1 << 16 # device batch size (padded)

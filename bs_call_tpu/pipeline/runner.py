@@ -28,7 +28,7 @@ from bs_call_tpu.stats.meth_profile import meth_profile
 def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     """Run the full pipeline. Returns (stats, contig_table)."""
     cfg.sanitize()
-    reader = open_alignment_file(cfg.input_file)
+    reader = open_alignment_file(cfg.input_file, threads=cfg.threads)
     fasta = FastaIndex(cfg.reference_file)
     table = reconcile_contigs(
         fasta,
@@ -172,7 +172,8 @@ def _try_native(cfg, table):
     tid_keep = _tid_keep(table)
     try:
         return NativePipeline(
-            cfg.input_file, cfg, tid_keep, collect_stats=False
+            cfg.input_file, cfg, tid_keep, collect_stats=False,
+            threads=cfg.threads,
         )
     except (RuntimeError, ValueError):
         return None
@@ -201,7 +202,8 @@ def process_contig_blocks_native(
         from bs_call_tpu.native.pipeline import NativePipeline
 
         npipe = NativePipeline(
-            cfg.input_file, cfg, _tid_keep(table), collect_stats=True
+            cfg.input_file, cfg, _tid_keep(table), collect_stats=True,
+            threads=cfg.threads,
         )
     contig_seq = None
     try:
