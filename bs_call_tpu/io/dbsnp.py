@@ -140,6 +140,34 @@ class DbSnpContig:
                     prev_ix = -1
                     n_entries = 0
 
+    def range_flags(self, x0: int, x1: int):
+        """Vectorized presence for 1-based positions [x0, x1]: returns
+        (present bool [n], selected bool [n]) from the per-bin masks."""
+        import numpy as np
+
+        n = x1 - x0 + 1
+        present = np.zeros(n, dtype=bool)
+        selected = np.zeros(n, dtype=bool)
+        for bn in range(x0 >> 6, (x1 >> 6) + 1):
+            b = self.bins.get(bn)
+            if b is None:
+                continue
+            base = bn << 6
+            offs = np.arange(64)
+            # masks are 64-bit python ints (can exceed int64 range)
+            mask_bits = np.array(
+                [(b.mask >> int(o)) & 1 for o in range(64)], dtype=np.int64
+            )
+            fq_bits = np.array(
+                [(b.fq_mask >> int(o)) & 1 for o in range(64)],
+                dtype=np.int64,
+            )
+            posns = base + offs
+            sel = (posns >= x0) & (posns <= x1)
+            present[posns[sel] - x0] = mask_bits[sel].astype(bool)
+            selected[posns[sel] - x0] = fq_bits[sel].astype(bool)
+        return present, selected
+
     def lookup(self, x: int) -> Tuple[int, str]:
         """Returns (0/1/3, rs-name) for 1-based position x."""
         bn = x >> 6

@@ -88,6 +88,25 @@ for _f in range(16):
         FT_STR.append("PASS")
 
 
+from bs_call_tpu.constants import lfact_store, logp_table  # noqa: E402
+
+_LFACT_TAB = lfact_store()
+_LOGP = logp_table()
+
+
+def _lfact_vec(x: np.ndarray) -> np.ndarray:
+    """Vectorized log-factorial with the reference's table-then-lgamma
+    split (bs_call.h:335)."""
+    import math
+
+    x = np.asarray(x, dtype=np.int64)
+    out = np.where(x < len(_LFACT_TAB), _LFACT_TAB[np.minimum(x, 255)], 0.0)
+    big = np.nonzero(x >= len(_LFACT_TAB))[0]
+    for i in big:
+        out[i] = math.lgamma(float(x[i]) + 1.0)
+    return out
+
+
 def _truncate_ctx(win: np.ndarray) -> np.ndarray:
     """strncpy-style truncation along the last axis: zero everything after
     the first zero."""
@@ -95,15 +114,35 @@ def _truncate_ctx(win: np.ndarray) -> np.ndarray:
     return np.where(keep, win, 0)
 
 
-class VectorBlockEmitter:
-    """Block-vectorized text emission; shares dedup state with the caller
-    through old_ctg/old_x attributes (matching the scalar emitter)."""
+MUT_A = None  # built lazily from site.MUT_TYPE
+IS_VAR = np.zeros((10, 5), dtype=bool)
+IS_MULTI = np.zeros((10, 5), dtype=bool)
+from bs_call_tpu.output.site import MUT_TYPE as _MT  # noqa: E402
 
-    def __init__(self, cfg, fileobj):
+MUT_A = np.array(_MT, dtype=np.int64)
+for _g in range(10):
+    for _r in range(5):
+        alt = REF_ALT[_g][_r]
+        IS_VAR[_g, _r] = alt != ""
+        IS_MULTI[_g, _r] = len(alt) > 1
+
+
+class VectorBlockEmitter:
+    """Block-vectorized text emission; shares dedup + CpG-pair state with
+    the caller through old_ctg/old_x/prev_cpg attributes (matching the
+    scalar emitter)."""
+
+    def __init__(self, cfg, fileobj, stats=None, dbsnp=None):
         self.cfg = cfg
         self._f = fileobj
+        self.stats = stats
+        self.dbsnp = dbsnp
+        self._dbsnp_ctg = None
+        self._dbsnp_ctg_name = None
         self.old_ctg = None
         self.old_x = 0
+        self.prev_cpg_x = 0
+        self.prev_cpg_flt = False
 
     def emit_block(self, ctg, soa, ref_window, x: int, y: int) -> None:
         sz = y - x + 1
@@ -112,6 +151,9 @@ class VectorBlockEmitter:
         if self.old_ctg is not ctg:
             self.old_ctg = ctg
             self.old_x = 0
+        if self.dbsnp is not None and self._dbsnp_ctg_name != ctg.name:
+            self._dbsnp_ctg = self.dbsnp.load_contig(ctg.name)
+            self._dbsnp_ctg_name = ctg.name
 
         # genotype 5-windows with stale-tail padding
         G_ext = np.concatenate(
@@ -145,11 +187,17 @@ class VectorBlockEmitter:
         if reach.any():
             self.old_x = int(pos[reach].max())
         gtc = np.maximum(gt, 0)
+        rs_present = rs_selected = None
+        if self._dbsnp_ctg is not None:
+            rs_present, rs_selected = self._dbsnp_ctg.range_flags(x, y)
         skip_homref = GT_FLAG_A[gtc, rfix] & (not self.cfg.all_positions)
+        if rs_selected is not None:
+            # maf-selected dbSNP sites force emission (print_vcf.c:139)
+            skip_homref &= ~rs_selected
         skip_len = pos > ctg.seq_len
         emit = reach & ~skip_homref & ~skip_len
         idx = np.nonzero(emit)[0]
-        if len(idx) == 0:
+        if len(idx) == 0 and not (self.stats is not None and reach.any()):
             return
 
         counts = soa["counts"][idx]
@@ -255,10 +303,35 @@ class VectorBlockEmitter:
         ctx_all = ctx_bytes.tobytes().decode()
 
         pos_e = pos[idx]
-        name = ctg.name
         het = GT_HET_A[g]
-        lines = []
+        # rs IDs for emitted rows
+        rs_ids = None
+        if rs_present is not None:
+            rs_ids = [None] * n
+            for i in np.nonzero(rs_present[idx])[0]:
+                _, rs_ids[i] = self._dbsnp_ctg.lookup(int(pos_e[i]))
+
+        if self.stats is not None:
+            self._accumulate_stats(
+                ctg, soa, pos, reach, idx, g, r, rf7, phred, qd, fs_int,
+                mq, flt, mac1, counts, cond_cg, rs_present, rs_selected,
+            )
+
         q8 = quals
+        lines = self._format_rows(
+            ctg, n, g, r, flt, mac1, prf_all, ctx_all, phred, dp1, mq, qd,
+            gl_vals, gl_len, c, q8, cond_cg, cg_code, het, fs_int, pos_e,
+            rs_ids,
+        )
+        self._f.write("".join(lines).encode())
+
+    def _format_rows(
+        self, ctg, n, g, r, flt, mac1, prf_all, ctx_all, phred, dp1, mq,
+        qd, gl_vals, gl_len, c, q8, cond_cg, cg_code, het, fs_int, pos_e,
+        rs_ids,
+    ):
+        name = ctg.name
+        lines = []
         for i in range(n):
             gi = g[i]
             ri = r[i]
@@ -293,8 +366,188 @@ class VectorBlockEmitter:
             if het[i]:
                 fmt += ":FS"
                 vals += f":{fs_int[i]}"
+            rid = rs_ids[i] if rs_ids is not None and rs_ids[i] else "."
             lines.append(
-                f"{name}\t{pos_e[i]}\t.\t{PBASE[ri]}\t{ALT_STR[gi][ri]}\t"
+                f"{name}\t{pos_e[i]}\t{rid}\t{PBASE[ri]}\t{ALT_STR[gi][ri]}\t"
                 f"{ph}\t{filt}\tCX={prf}\t{fmt}\t{vals}\n"
             )
-        self._f.write("".join(lines).encode())
+        return lines
+
+    def _accumulate_stats(
+        self, ctg, soa, pos, reach, idx, g, r, rf7, phred, qd, fs_int,
+        mq, flt, mac1, counts, cond_cg, rs_present, rs_selected,
+    ):
+        """Vectorized transcription of the stats block of _print_vcf_entry
+        (print_vcf.c:382-526)."""
+        stats = self.stats
+        ctg_stats = ctg.ctg_stats
+        all_counts = soa["counts"]
+        dp_all = all_counts.sum(axis=1).astype(np.int64)
+        # coverage hash + GC% for every reached (covered, deduped) row
+        ri_ = np.nonzero(reach)[0]
+        gc_bins = ctg_stats.gc if ctg_stats is not None else None
+        gc_start = getattr(ctg, "gc_start_pos", 1)
+        if len(ri_):
+            dpr = dp_all[ri_]
+            if gc_bins is not None and len(gc_bins):
+                bn = (pos[ri_] - gc_start) // 100
+                ok = (bn >= 0) & (bn < len(gc_bins))
+                gc = np.where(ok, gc_bins[np.clip(bn, 0, len(gc_bins) - 1)],
+                              255)
+                ok &= gc <= 100
+            else:
+                ok = np.zeros(len(ri_), dtype=bool)
+                gc = np.zeros(len(ri_), dtype=np.int64)
+            uniq, inv = np.unique(dpr, return_inverse=True)
+            cnts = np.bincount(inv)
+            for k, d in enumerate(uniq):
+                stats.cov_stats[int(d)].all += int(cnts[k])
+            sel = np.nonzero(ok)[0]
+            if len(sel):
+                key = dpr[sel] * 102 + gc[sel]
+                uk, kc = np.unique(key, return_counts=True)
+                for k, cnt in zip(uk, kc):
+                    stats.cov_stats[int(k // 102)].gc_pcent[
+                        int(k % 102)
+                    ] += int(cnt)
+        n = len(idx)
+        if n == 0:
+            return
+        dp1 = counts[:, :4].sum(axis=1).astype(np.int64)
+        d_inf = counts[:, 4:].sum(axis=1).astype(np.int64)
+        dp = dp1 + d_inf
+        het = GT_HET_A[g]
+        flt_full = flt | np.where(mac1, 128, 0)
+        is_var = IS_VAR[g, r]
+        is_multi = IS_MULTI[g, r] & is_var
+        is_snp = is_var & ~is_multi
+        passed = flt_full == 0
+
+        def bump(target, mask):
+            target[0] += int(mask.sum())
+            target[1] += int((mask & passed).sum())
+
+        bump(stats.snps, is_snp)
+        bump(stats.multi, is_multi)
+        if ctg_stats is not None:
+            bump(ctg_stats.snps, is_snp)
+            bump(ctg_stats.multi, is_multi)
+        stats.qual[1] += np.bincount(
+            phred[is_var], minlength=256
+        ).astype(np.int64)
+        # per-coverage variant counts
+        for d, cnt in zip(*np.unique(dp[is_var], return_counts=True)):
+            stats.cov_stats[int(d)].var += int(cnt)
+        # QC distributions
+        for dct, vals in (
+            (stats.qd_stats, qd),
+            (stats.fs_stats, fs_int),
+            (stats.mq_stats, mq),
+        ):
+            key = vals.astype(np.int64) * 2 + het
+            for k, cnt in zip(*np.unique(key, return_counts=True)):
+                dct[int(k) // 2][int(k) % 2] += int(cnt)
+        key = het.astype(np.int64) * 32 + (flt_full & 31)
+        for k, cnt in zip(*np.unique(key, return_counts=True)):
+            stats.filter_counts[int(k) // 32][int(k) % 32] += int(cnt)
+        stats.qual[0] += np.bincount(phred, minlength=256).astype(np.int64)
+        if rs_present is not None:
+            rsp = rs_present[idx]
+            bump(stats.dbSNP_sites, rsp)
+            bump(stats.dbSNP_var, rsp & is_var)
+            if ctg_stats is not None:
+                bump(ctg_stats.dbSNP_sites, rsp)
+                bump(ctg_stats.dbSNP_var, rsp & is_var)
+        else:
+            rsp = np.zeros(n, dtype=bool)
+        # ---- CpG pair + methylation posterior block ----
+        # CS '+' genotypes: indices where CS_STR == '+': {1,4,6}; '-': {2,7,8}
+        plus = cond_cg & np.isin(g, [1, 4, 6])
+        minus = cond_cg & np.isin(g, [2, 7, 8])
+        pos_e = pos[idx]
+        ref_cpg_plus = (rf7[idx, 2] == 2) & (rf7[idx, 3] == 3)
+        ref_cpg_minus = (rf7[idx, 1] == 2) & (rf7[idx, 2] == 3)
+        # last '+'-CG row before each row (carry-in across blocks)
+        plus_idx = np.where(plus, np.arange(n), -1)
+        last_plus = np.maximum.accumulate(plus_idx)
+        prev_x = np.where(
+            last_plus >= 0, pos_e[np.maximum(last_plus, 0)],
+            self.prev_cpg_x,
+        )
+        prev_flt = np.where(
+            last_plus >= 0,
+            flt_full[np.maximum(last_plus, 0)] != 0,
+            self.prev_cpg_flt,
+        )
+        # for a minus row, its own last_plus excludes itself (plus/minus
+        # disjoint), but the accumulate INCLUDES the current row for plus
+        # rows — harmless since only minus rows consume prev_x
+        pair = minus & (pos_e - prev_x == 1)
+        pair_flt = prev_flt | (flt_full != 0)
+        for mask, key in (
+            (pair & ref_cpg_minus, "CpG_ref"),
+            (pair & ~ref_cpg_minus, "CpG_nonref"),
+        ):
+            getattr(stats, key)[0] += int(mask.sum())
+            getattr(stats, key)[1] += int((mask & ~pair_flt).sum())
+            if ctg_stats is not None:
+                getattr(ctg_stats, key)[0] += int(mask.sum())
+                getattr(ctg_stats, key)[1] += int(
+                    (mask & ~pair_flt).sum()
+                )
+        if plus.any():
+            last = int(np.nonzero(plus)[0][-1])
+            self.prev_cpg_x = int(pos_e[last])
+            self.prev_cpg_flt = bool(flt_full[last] != 0)
+        cpg_ok = plus | minus
+        ref_cpg = np.where(plus, ref_cpg_plus, ref_cpg_minus)
+        a = np.where(plus, counts[:, 5], counts[:, 6]).astype(np.int64)
+        b = np.where(plus, counts[:, 7], counts[:, 4]).astype(np.int64)
+        for m, q_row in (
+            (cpg_ok & ref_cpg, 2),
+            (cpg_ok & ~ref_cpg, 3),
+        ):
+            stats.qual[q_row] += np.bincount(
+                phred[m], minlength=256
+            ).astype(np.int64)
+        for m, which in ((cpg_ok & ref_cpg, 0), (cpg_ok & ~ref_cpg, 1)):
+            for d, cnt in zip(*np.unique(dp[m], return_counts=True)):
+                stats.cov_stats[int(d)].CpG[which] += int(cnt)
+            for d, cnt in zip(*np.unique(d_inf[m], return_counts=True)):
+                stats.cov_stats[int(d)].CpG_inf[which] += int(cnt)
+        mm = np.nonzero(cpg_ok & (a + b > 0))[0]
+        if len(mm):
+            am, bm = a[mm].astype(np.float64), b[mm].astype(np.float64)
+            konst = (
+                _lfact_vec(a[mm] + b[mm] + 1)
+                - _lfact_vec(a[mm])
+                - _lfact_vec(b[mm])
+            )
+            meth = np.zeros((len(mm), 101))
+            meth[:, 0] = np.where(a[mm] == 0, np.exp(konst), 0.0)
+            meth[:, 100] = np.where(b[mm] == 0, np.exp(konst), 0.0)
+            mid = konst[:, None] + _LOGP[None, :99] * am[:, None]
+            mid = mid + _LOGP[None, :99][:, ::-1] * bm[:, None]
+            meth[:, 1:100] = np.exp(mid)
+            s = meth.sum(axis=1)
+            z = meth / s[:, None]
+            for which, grid in ((True, stats.CpG_ref_meth),
+                                (False, stats.CpG_nonref_meth)):
+                rows = ref_cpg[mm] == which
+                if rows.any():
+                    grid[0] += z[rows].sum(axis=0)
+                    ok_rows = rows & (flt_full[mm] == 0)
+                    if ok_rows.any():
+                        grid[1] += z[ok_rows].sum(axis=0)
+        # mutation spectrum
+        mut = MUT_A[g, r]
+        mv = mut != 12
+        for arr, cond in (
+            (stats.mut_counts, mv),
+            (stats.dbSNP_mut_counts, mv & rsp),
+        ):
+            for k, cnt in zip(*np.unique(mut[cond], return_counts=True)):
+                arr[int(k)][0] += int(cnt)
+            pc = cond & passed
+            for k, cnt in zip(*np.unique(mut[pc], return_counts=True)):
+                arr[int(k)][1] += int(cnt)

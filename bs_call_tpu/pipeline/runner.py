@@ -73,18 +73,18 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     emitter = SiteEmitter(
         cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
     )
-    # fast block-vectorized emission is available for plain-text output
-    # without stats/dbSNP; small or edge blocks still use the scalar path
+    # fast block-vectorized emission for plain-text output (with or
+    # without stats/dbSNP); small or edge blocks still use the scalar path
     vector_emitter = None
-    if (
-        stats is None
-        and dbsnp is None
-        and isinstance(writer, VcfTextWriter)
-        and cfg.out_file_type in (C.FT_VCF, C.FT_UNKN)
+    if isinstance(writer, VcfTextWriter) and cfg.out_file_type in (
+        C.FT_VCF,
+        C.FT_UNKN,
     ):
         from bs_call_tpu.output.vector_site import VectorBlockEmitter
 
-        vector_emitter = VectorBlockEmitter(cfg, out_fileobj)
+        vector_emitter = VectorBlockEmitter(
+            cfg, out_fileobj, stats=stats, dbsnp=dbsnp
+        )
     emitter.vector = vector_emitter
     engine = CallEngine(cfg)
     native = _try_native(cfg, table)
@@ -125,9 +125,13 @@ def _emit_block(
         )
         ve.old_ctg = emitter.old_ctg
         ve.old_x = emitter.old_x
+        ve.prev_cpg_x = emitter.prev_cpg_x
+        ve.prev_cpg_flt = emitter.prev_cpg_flt
         ve.emit_block(ctg, soa, ref_window, x, y)
         emitter.old_ctg = ve.old_ctg
         emitter.old_x = ve.old_x
+        emitter.prev_cpg_x = ve.prev_cpg_x
+        emitter.prev_cpg_flt = ve.prev_cpg_flt
         return
     calls = engine.call_block(
         counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
