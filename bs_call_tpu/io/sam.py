@@ -149,7 +149,9 @@ class SamReader:
         self._f.close()
 
 
-def open_alignment_file(path: str, native: bool = True, threads: int = 4):
+def open_alignment_file(
+    path: str, native: bool = True, threads: int = 4, reference=None
+):
     """Open SAM/BAM by sniffing content (process.c:112-137 analogue).
     BAM prefers the native C++ batch decoder when the toolchain is
     available; falls back to the pure-Python reader. path "-" reads SAM
@@ -189,7 +191,7 @@ def open_alignment_file(path: str, native: bool = True, threads: int = 4):
                 pass
         return BamReader(path)
     if magic[:4] == b"CRAM":
-        raise NotImplementedError(
-            "CRAM input is not supported yet; convert to BAM"
-        )
+        from bs_call_tpu.io.cram import CramReader
+
+        return CramReader(path, reference=reference)
     return SamReader(path)

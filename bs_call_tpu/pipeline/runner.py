@@ -28,7 +28,9 @@ from bs_call_tpu.stats.meth_profile import meth_profile
 def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     """Run the full pipeline. Returns (stats, contig_table)."""
     cfg.sanitize()
-    reader = open_alignment_file(cfg.input_file, threads=cfg.threads)
+    reader = open_alignment_file(
+        cfg.input_file, threads=cfg.threads, reference=cfg.reference_file
+    )
     fasta = FastaIndex(cfg.reference_file)
     table = reconcile_contigs(
         fasta,

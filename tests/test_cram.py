@@ -1,0 +1,136 @@
+"""CRAM round-trip tests: writer -> reader record equality against the BAM
+path, plus an end-to-end caller run producing identical VCF from CRAM and
+BAM inputs."""
+
+import io
+
+import numpy as np
+import pytest
+
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.bam import BamHeader, BamReader, BamWriter, aux_tag
+from bs_call_tpu.io.cram import CramReader
+from bs_call_tpu.io.cram_writer import CramWriter
+from bs_call_tpu.pipeline.runner import run_caller
+
+
+def make_dataset(tmp_path, seed=0, n=300):
+    rng = np.random.default_rng(seed)
+    ctg_len = 4000
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"],
+        ref_lens=[ctg_len],
+    )
+    recs = []
+    bases = "ACGT"
+    tags = [b"", aux_tag("XB", "A", "C"), aux_tag("XG", "Z", "GA"),
+            aux_tag("NM", "i", 3) + aux_tag("ZS", "Z", "+")]
+    for k in range(n):
+        pos = int(rng.integers(0, ctg_len - 200))
+        rlen = int(rng.integers(30, 80))
+        kind = rng.random()
+        rseq = list(seq[pos : pos + rlen])
+        for i in np.nonzero(rng.random(rlen) < 0.05)[0]:
+            rseq[i] = bases[int(rng.integers(0, 4))]
+        cigar = [(rlen, 0)]
+        if kind < 0.15 and rlen > 12:
+            cigar = [(4, 4), (rlen - 4, 0)]
+            rseq = list("TTTT") + rseq[: rlen - 4]
+        elif kind < 0.3 and rlen > 20:
+            half = rlen // 2
+            cigar = [(half, 0), (3, 1), (rlen - half - 3, 0)]
+            rseq = (
+                rseq[:half] + list("GGG") + rseq[half : rlen - 3]
+            )
+        elif kind < 0.45 and rlen > 20:
+            half = rlen // 2
+            cigar = [(half, 0), (2, 2), (rlen - half, 0)]
+            rseq = list(
+                seq[pos : pos + half] + seq[pos + half + 2 : pos + half + 2 + rlen - half]
+            )
+        qual = rng.integers(0, 60, len(rseq)).astype(np.uint8)
+        flag = 16 if rng.random() < 0.5 else 0
+        recs.append(
+            (f"r{k:05d}", flag, 0, pos, int(rng.integers(0, 61)), cigar,
+             -1, -1, 0, "".join(rseq), qual, bytes(tags[k % 4]))
+        )
+    # proper pairs
+    for k in range(40):
+        pos1 = int(rng.integers(0, ctg_len - 400))
+        pos2 = pos1 + int(rng.integers(50, 150))
+        rlen = 60
+        isize = pos2 + rlen - pos1
+        q1 = rng.integers(10, 44, rlen).astype(np.uint8)
+        q2 = rng.integers(10, 44, rlen).astype(np.uint8)
+        recs.append(
+            (f"p{k:04d}", 0x63, 0, pos1, 55, [(rlen, 0)], 0, pos2, isize,
+             seq[pos1 : pos1 + rlen], q1, b"")
+        )
+        recs.append(
+            (f"p{k:04d}", 0x93, 0, pos2, 55, [(rlen, 0)], 0, pos1, -isize,
+             seq[pos2 : pos2 + rlen], q2, b"")
+        )
+    recs.sort(key=lambda r: r[3])
+    return str(ref), hdr, recs
+
+
+def write_both(tmp_path, ref, hdr, recs):
+    bam = tmp_path / "t.bam"
+    cram = tmp_path / "t.cram"
+    wb = BamWriter(str(bam), hdr)
+    wc = CramWriter(str(cram), hdr, reference=ref)
+    for r in recs:
+        wb.write(*r)
+        wc.write(*r)
+    wb.close()
+    wc.close()
+    return str(bam), str(cram)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_cram_roundtrip_matches_bam(tmp_path, seed):
+    ref, hdr, recs = make_dataset(tmp_path, seed)
+    bam, cram = write_both(tmp_path, ref, hdr, recs)
+    b_recs = list(BamReader(bam))
+    c_recs = list(CramReader(cram, reference=ref))
+    assert len(b_recs) == len(c_recs)
+    for rb, rc in zip(b_recs, c_recs):
+        assert rb.name == rc.name
+        assert rb.flag == rc.flag, rb.name
+        assert rb.tid == rc.tid and rb.pos == rc.pos
+        assert rb.mapq == rc.mapq
+        assert rb.cigar == rc.cigar, (rb.name, rb.cigar, rc.cigar)
+        np.testing.assert_array_equal(
+            rb.seq_code, rc.seq_code, err_msg=rb.name
+        )
+        np.testing.assert_array_equal(rb.qual, rc.qual, err_msg=rb.name)
+        assert rb.mtid == rc.mtid and rb.pos == rc.pos
+        if rb.flag & 0x1:
+            assert rb.mpos == rc.mpos, rb.name
+            assert rb.isize == rc.isize, rb.name
+        # aux tags preserve the bisulfite strand
+        from bs_call_tpu.io.bam import decode_bs_strand
+
+        assert decode_bs_strand(rb.aux) == decode_bs_strand(rc.aux)
+
+
+def test_cram_end_to_end_matches_bam(tmp_path):
+    ref, hdr, recs = make_dataset(tmp_path, 2)
+    bam, cram = write_both(tmp_path, ref, hdr, recs)
+    outs = []
+    for path in (bam, cram):
+        cfg = CallerConfig(
+            input_file=path, reference_file=ref, benchmark_mode=True
+        )
+        out = io.BytesIO()
+        run_caller(cfg, out_fileobj=out)
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1]
