@@ -69,10 +69,13 @@ def region_filtered_records(records, table: ContigTable):
 
 
 def read_blocks(
-    records, table: ContigTable, cfg: CallerConfig, stats=None
+    records, table: ContigTable, cfg: CallerConfig, stats=None,
+    prefiltered: bool = False,
 ) -> Iterator[Block]:
-    """Generator over pileup blocks from a sorted record iterator."""
-    if table.regions:
+    """Generator over pileup blocks from a sorted record iterator.
+    prefiltered=True means region restriction already happened upstream
+    (indexed iteration)."""
+    if table.regions and not prefiltered:
         records = region_filtered_records(records, table)
     align_list: List[AlignDetails] = []
     al_hash_list: List[Optional[HashEntry]] = []

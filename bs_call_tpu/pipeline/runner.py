@@ -246,10 +246,58 @@ def process_contig_blocks_native(
         npipe.close()
 
 
+def _indexed_region_records(cfg, table):
+    """Per-region record iteration through a .bai index (the reference's
+    sam_itr_queryi path, get_template_vector.c:69-101). Returns None when
+    no usable index exists. Records starting inside an earlier region of
+    the same contig are skipped (they were already yielded there)."""
+    import os
+
+    if not cfg.input_file or not os.path.exists(cfg.input_file + ".bai"):
+        return None
+    try:
+        from bs_call_tpu.io.bai import IndexedBamReader
+
+        idx = IndexedBamReader(cfg.input_file)
+    except (ValueError, OSError):
+        return None
+
+    def gen():
+        try:
+            for reg in table.regions:
+                prev = [
+                    r
+                    for r in reg.ctg.regions
+                    if r.stop < reg.start
+                ]
+                for rec in idx.query(
+                    reg.ctg.bam_tid, reg.start - 1, reg.stop
+                ):
+                    if any(
+                        p.start <= rec.pos + 1 <= p.stop for p in prev
+                    ):
+                        continue
+                    rec.region = reg
+                    yield rec
+        finally:
+            idx.close()
+
+    return gen()
+
+
 def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):
     """Iterate blocks, normalize templates, call genotypes, emit sites."""
     contig_seq = None  # loaded lazily per contig
-    for block in read_blocks(iter(reader), table, cfg, stats=stats):
+    records = iter(reader)
+    prefiltered = False
+    if table.regions:
+        indexed = _indexed_region_records(cfg, table)
+        if indexed is not None:
+            records = indexed
+            prefiltered = True
+    for block in read_blocks(
+        records, table, cfg, stats=stats, prefiltered=prefiltered
+    ):
         ctg = block.ctg
         ctg.curr_reg = block.region
         if contig_seq is None or contig_seq.name != ctg.name:
