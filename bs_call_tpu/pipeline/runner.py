@@ -25,9 +25,14 @@ from bs_call_tpu.pipeline.template import process_template
 from bs_call_tpu.stats.meth_profile import meth_profile
 
 
-def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
+def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
+               tracer=None):
     """Run the full pipeline. Returns (stats, contig_table)."""
+    from bs_call_tpu.utils.trace import Tracer
+
     cfg.sanitize()
+    if tracer is None:
+        tracer = Tracer(enabled=cfg.verbose)
     reader = open_alignment_file(
         cfg.input_file, threads=cfg.threads, reference=cfg.reference_file
     )
@@ -91,17 +96,19 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None):
     engine = CallEngine(cfg)
     native = _try_native(cfg, table)
     if native is not None:
+        tracer.progress("using native C++ ingest pipeline")
         process_contig_blocks_native(
-            cfg, native, table, fasta, engine, emitter, stats
+            cfg, native, table, fasta, engine, emitter, stats, tracer
         )
     else:
         process_contig_blocks(
-            cfg, reader, table, fasta, engine, emitter, stats
+            cfg, reader, table, fasta, engine, emitter, stats, tracer
         )
     emitter.flush()
     writer.close()
     if close_out:
         out_fileobj.close()
+    tracer.report()
     return stats, table
 
 
@@ -198,7 +205,7 @@ def _tid_keep(table):
 
 
 def process_contig_blocks_native(
-    cfg, npipe, table, fasta, engine, emitter, stats
+    cfg, npipe, table, fasta, engine, emitter, stats, tracer=None
 ):
     """Native-pipeline driver: C++ produces (x, y, pileup tensors) blocks;
     Python does reference windows, genotype batches and emission."""
@@ -211,15 +218,20 @@ def process_contig_blocks_native(
             cfg.input_file, cfg, _tid_keep(table), collect_stats=True,
             threads=cfg.threads,
         )
+    from bs_call_tpu.utils.trace import NULL_TRACER
+
+    tracer = tracer or NULL_TRACER
     contig_seq = None
     try:
         while True:
-            blk = npipe.next_block()
+            with tracer.stage("ingest"):
+                blk = npipe.next_block()
             if blk is None:
                 break
             ctg = table.contigs[table.tid2id[blk["tid"]]]
             ctg.curr_reg = None
             if contig_seq is None or contig_seq.name != ctg.name:
+                tracer.progress(f"Processing contig {ctg.name}")
                 contig_seq = fasta.load_contig(
                     ctg.name, calc_gc=stats is not None
                 )
@@ -228,15 +240,22 @@ def process_contig_blocks_native(
                     ctg.ctg_stats.gc = contig_seq.gc_bins
             x, y = blk["x"], blk["y"]
             sz = y - x + 1
+            tracer.count("blocks")
+            tracer.count("templates", blk["n_templates"])
+            tracer.count("positions", sz)
             ref_window = sequence_window(contig_seq, x, sz + 2)
             if stats is not None:
-                stats.grow_meth_profile(blk["max_pos"] + 1)
-                npipe.block_meth_profile(ref_window, stats.meth_profile)
-            _emit_block(
-                cfg, engine, emitter, ctg, blk["counts2"],
-                blk["qual_sum"], blk["mapq2_sum"], ref_window, x, y,
-                agg=blk.get("agg"),
-            )
+                with tracer.stage("meth_prof"):
+                    stats.grow_meth_profile(blk["max_pos"] + 1)
+                    npipe.block_meth_profile(
+                        ref_window, stats.meth_profile
+                    )
+            with tracer.stage("call+emit"):
+                _emit_block(
+                    cfg, engine, emitter, ctg, blk["counts2"],
+                    blk["qual_sum"], blk["mapq2_sum"], ref_window, x, y,
+                    agg=blk.get("agg"),
+                )
         if stats is not None:
             fc, fb, bf = npipe.get_stats()
             stats.filter_cts += fc
@@ -285,8 +304,12 @@ def _indexed_region_records(cfg, table):
     return gen()
 
 
-def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats):
+def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats,
+                          tracer=None):
     """Iterate blocks, normalize templates, call genotypes, emit sites."""
+    from bs_call_tpu.utils.trace import NULL_TRACER
+
+    tracer = tracer or NULL_TRACER
     contig_seq = None  # loaded lazily per contig
     records = iter(reader)
     prefiltered = False
