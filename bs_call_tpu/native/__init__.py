@@ -11,6 +11,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
     os.path.join(_DIR, "bsc_ingest.cpp"),
     os.path.join(_DIR, "bsc_pipeline.cpp"),
+    os.path.join(_DIR, "bsc_format.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -80,5 +81,6 @@ def load():
         lib.bsp_header_text.argtypes = [ctypes.c_void_p]
         lib.bsp_header_text.restype = ctypes.c_char_p
         lib.bsp_next_block.restype = ctypes.c_int
+        lib.bsc_format_rows.restype = ctypes.c_int64
         _lib = lib
         return _lib

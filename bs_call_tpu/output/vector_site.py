@@ -127,6 +127,85 @@ for _g in range(10):
         IS_MULTI[_g, _r] = len(alt) > 1
 
 
+# fixed-stride LUT blobs for the native formatter (shared source of truth
+# with the Python fallback loop)
+def _lut_blob(entries, stride):
+    out = bytearray(len(entries) * stride)
+    for i, s in enumerate(entries):
+        b = s.encode()
+        out[i * stride : i * stride + len(b)] = b
+    return bytes(out)
+
+
+_GT_LUT = _lut_blob([GT_STR[g][r] for g in range(10) for r in range(5)], 8)
+_ALT_LUT = _lut_blob([ALT_STR[g][r] for g in range(10) for r in range(5)], 8)
+_CS_LUT = _lut_blob(CS_STR, 4)
+_FT_LUT = _lut_blob(FT_STR, 24)
+_PBASE_B5 = PBASE.encode()
+
+
+def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
+                   phred, dp1, mq, qd, gl_vals, gl_len, c, q8, cond_cg,
+                   cg_code, het, fs_int, pos_e, rs_ids) -> bool:
+    """Format rows via the C++ formatter; returns False if unavailable."""
+    try:
+        import ctypes
+
+        from bs_call_tpu.native import load
+
+        lib = load()
+        if lib is None:
+            return False
+    except Exception:
+        return False
+    if rs_ids is not None:
+        blobs = [(s or "").encode() for s in rs_ids]
+        rs_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=rs_off[1:])
+        rs_blob = b"".join(blobs)
+    else:
+        rs_off = np.zeros(n + 1, dtype=np.int64)
+        rs_blob = b""
+    cap = 512 * (n + 2)
+    out = ctypes.create_string_buffer(cap)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)  # noqa: E731
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)  # noqa: E731
+    u8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    pos_a = i64(pos_e)
+    g_a = i32(g)
+    r_a = i32(r)
+    flt_a = i64(flt)
+    mac_a = u8(mac1)
+    ph_a = i64(phred)
+    dp_a = i64(dp1)
+    mq_a = i32(mq)
+    qd_a = i64(qd)
+    fs_a = i64(fs_int)
+    het_a = u8(het)
+    glv = np.ascontiguousarray(gl_vals, dtype=np.float32)
+    gll = i32(gl_len)
+    c_a = i32(c)
+    q_a = i32(q8)
+    cg_a = u8(cond_cg)
+    cgc = i64(cg_code)
+    written = lib.bsc_format_rows(
+        ctypes.c_int64(n),
+        ctg.name.encode(),
+        P(pos_a), P(g_a), P(r_a), P(flt_a), P(mac_a), P(ph_a), P(dp_a),
+        P(mq_a), P(qd_a), P(fs_a), P(het_a), P(glv), P(gll), P(c_a),
+        P(q_a), P(cg_a), P(cgc),
+        prf_all.encode(), ctx_all.encode(),
+        rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
+        _GT_LUT, 8, _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24, _PBASE_B5,
+        out, ctypes.c_int64(cap),
+    )
+    if written < 0:
+        return False
+    fileobj.write(out.raw[:written])
+    return True
+
+
 class VectorBlockEmitter:
     """Block-vectorized text emission; shares dedup + CpG-pair state with
     the caller through old_ctg/old_x/prev_cpg attributes (matching the
@@ -318,6 +397,12 @@ class VectorBlockEmitter:
             )
 
         q8 = quals
+        if n and _native_format(
+            self._f, ctg, n, g, r, flt, mac1, prf_all, ctx_all, phred,
+            dp1, mq, qd, gl_vals, gl_len, c, q8, cond_cg, cg_code, het,
+            fs_int, pos_e, rs_ids,
+        ):
+            return
         lines = self._format_rows(
             ctg, n, g, r, flt, mac1, prf_all, ctx_all, phred, dp1, mq, qd,
             gl_vals, gl_len, c, q8, cond_cg, cg_code, het, fs_int, pos_e,

@@ -218,14 +218,43 @@ def process_contig_blocks_native(
             cfg.input_file, cfg, _tid_keep(table), collect_stats=True,
             threads=cfg.threads,
         )
+    import queue
+    import threading
+
     from bs_call_tpu.utils.trace import NULL_TRACER
 
     tracer = tracer or NULL_TRACER
     contig_seq = None
+    # background ingest: the C++ pipeline releases the GIL, so block
+    # production overlaps with calling + emission (the reference's
+    # reader-thread / process-thread split, process.c:43-72)
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def produce():
+        try:
+            while True:
+                b = npipe.next_block()
+                q.put(b)
+                if b is None:
+                    return
+        except Exception as e:  # surface errors on the consumer side
+            q.put(e)
+
+    # meth-profile accumulation happens on the consumer thread between
+    # next_block calls; the C++ pipeline object is only safe for one
+    # in-flight next_block, which the queue discipline guarantees —
+    # except bsp_block_* calls referencing the *current* staged block,
+    # so stats mode keeps the serial path.
+    use_prefetch = stats is None
+    if use_prefetch:
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
     try:
         while True:
             with tracer.stage("ingest"):
-                blk = npipe.next_block()
+                blk = q.get() if use_prefetch else npipe.next_block()
+            if isinstance(blk, Exception):
+                raise blk
             if blk is None:
                 break
             ctg = table.contigs[table.tid2id[blk["tid"]]]
