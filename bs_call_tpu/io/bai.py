@@ -14,7 +14,7 @@ from typing import Iterator, List, Tuple
 
 import numpy as np
 
-from bs_call_tpu.io.bam import BamHeader, BamRec, BamReader
+from bs_call_tpu.io.bam import BamRec, BamReader
 
 
 class BgzfRandomAccess:

@@ -39,7 +39,6 @@ from bs_call_tpu.io.cram_codecs import (
     read_itf8,
     read_ltf8,
     write_itf8,
-    write_ltf8,
 )
 
 MAGIC = b"CRAM"

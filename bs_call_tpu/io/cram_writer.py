@@ -8,7 +8,6 @@ BYTE_ARRAY_LEN tags."""
 from __future__ import annotations
 
 import struct
-import zlib
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

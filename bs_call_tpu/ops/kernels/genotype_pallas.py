@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from bs_call_tpu.constants import MAX_QUAL
 from bs_call_tpu.ops.genotype import ModelParams

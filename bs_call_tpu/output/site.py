@@ -19,12 +19,12 @@ the reference are reproduced:
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np
 
-from bs_call_tpu.constants import GT_HET, LOG10, FILTER_NAMES, logp_table, lfact_store
+from bs_call_tpu.constants import FILTER_NAMES, GT_HET, LOG10, logp_table
 from bs_call_tpu.ops.oracle import _lfact
 
 # ref_alt[gt][rfix] (print_vcf.c:34-45)

@@ -10,7 +10,7 @@ is byte-comparable across runs (print_vcf.c:647-651).
 from __future__ import annotations
 
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

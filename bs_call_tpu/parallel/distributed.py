@@ -18,12 +18,12 @@ Entry points:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 from bs_call_tpu.parallel.shard_runner import partition_contigs
-from bs_call_tpu.stats.collect import BsStats, CovStats
+from bs_call_tpu.stats.collect import BsStats
 
 COV_HIST_MAX = 4096  # bounded coverage histogram for collectives
 

@@ -20,7 +20,6 @@ import multiprocessing as mp
 import os
 import pickle
 import tempfile
-from dataclasses import replace
 from typing import List, Optional, Tuple
 
 from bs_call_tpu.config import CallerConfig

@@ -12,7 +12,6 @@ the device does the heavy lifting while outputs stay exact.
 
 from __future__ import annotations
 
-import math
 from typing import List, Optional
 
 import numpy as np

@@ -8,7 +8,7 @@ bookkeeping and 'mis-matched pair' handling as the reference.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 from bs_call_tpu import constants as C
 from bs_call_tpu.io import bam as B

@@ -8,8 +8,6 @@ normalization -> pileup tensors -> device genotype batch -> site emitter.
 from __future__ import annotations
 
 import sys
-from typing import Optional
-
 import numpy as np
 
 from bs_call_tpu.config import CallerConfig
