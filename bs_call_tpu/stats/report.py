@@ -286,4 +286,8 @@ def write_report(fp, cfg, stats, table, dbsnp=None):
             '\t\t\t"NonRefCpG": {\n\t\t\t\t"All": %d,\n\t\t\t\t"Passed": %d\n\t\t\t}\n\t\t}'
             % (gs.CpG_nonref[0], gs.CpG_nonref[1])
         )
+    if term == "{":
+        # reference omits the brace when no contig has SNPs (invalid
+        # JSON, stats.c:280-297); emit it so the document parses
+        w(term)
     w("\n\t}\n}\n")
