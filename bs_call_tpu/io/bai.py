@@ -150,7 +150,7 @@ class IndexedBamReader:
     def query(self, tid: int, beg: int, end: int) -> Iterator[BamRec]:
         """Yield records overlapping 0-based [beg, end), in order."""
         for cb, ce in self.index.chunks_for(tid, beg, end):
-            for rec in self._iter_voffset(cb, ce):
+            for rec in self._iter_chunk(cb, ce):
                 if rec.tid != tid or rec.pos >= end:
                     return
                 span = sum(
@@ -159,39 +159,34 @@ class IndexedBamReader:
                 if rec.pos + max(span, 1) > beg:
                     yield rec
 
-    def _iter_voffset(self, cb: int, ce: int) -> Iterator[BamRec]:
-        coff = cb >> 16
-        skip = cb & 0xFFFF
-        buf = bytearray()
-        consumed_voff = coff
-        while True:
-            data, nxt = self._bgzf.block_at(consumed_voff)
+    def _read_range(self, cb: int, ce: int) -> bytes:
+        """Exact uncompressed bytes between two virtual offsets; chunk
+        boundaries delimit whole records (SAM spec), so reading past ce —
+        which would duplicate the next chunk's records — never happens."""
+        coff, uoff = cb >> 16, cb & 0xFFFF
+        e_coff, e_uoff = ce >> 16, ce & 0xFFFF
+        out = bytearray()
+        while coff < e_coff:
+            data, nxt = self._bgzf.block_at(coff)
             if not data:
+                return bytes(out)
+            out += data[uoff:]
+            uoff = 0
+            coff = nxt
+        if coff == e_coff and e_uoff > uoff:
+            data, _ = self._bgzf.block_at(coff)
+            out += data[uoff:e_uoff]
+        return bytes(out)
+
+    def _iter_chunk(self, cb: int, ce: int) -> Iterator[BamRec]:
+        buf = self._read_range(cb, ce)
+        pos = 0
+        while len(buf) - pos >= 4:
+            (bs,) = struct.unpack_from("<i", buf, pos)
+            if len(buf) - pos < 4 + bs:
                 break
-            buf += data[skip:]
-            skip = 0
-            pos = 0
-            while True:
-                if len(buf) - pos < 4:
-                    break
-                (bs,) = struct.unpack_from("<i", bytes(buf), pos)
-                if len(buf) - pos < 4 + bs:
-                    break
-                yield _parse_record(bytes(buf), pos + 4, bs)
-                pos += 4 + bs
-            del buf[:pos]
-            consumed_voff = nxt
-            if consumed_voff > (ce >> 16):
-                # flush any full records already buffered, then stop
-                pos = 0
-                b = bytes(buf)
-                while len(b) - pos >= 4:
-                    (bs,) = struct.unpack_from("<i", b, pos)
-                    if len(b) - pos < 4 + bs:
-                        break
-                    yield _parse_record(b, pos + 4, bs)
-                    pos += 4 + bs
-                break
+            yield _parse_record(buf, pos + 4, bs)
+            pos += 4 + bs
 
     def close(self):
         self._bgzf.close()

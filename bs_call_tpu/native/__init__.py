@@ -17,6 +17,7 @@ _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
 _lock = threading.Lock()
 _lib = None
+_build_failed = False
 
 
 def _build() -> bool:
@@ -47,15 +48,18 @@ def _build() -> bool:
 def load():
     """Returns the ctypes library, building it if needed; None if the
     toolchain is unavailable."""
-    global _lib
+    global _lib, _build_failed
     with _lock:
         if _lib is not None:
             return _lib
+        if _build_failed:
+            return None
         src_mtime = max(
             os.path.getmtime(p) for p in _SRCS + [_HDR]
         )
         need = not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime
         if need and not _build():
+            _build_failed = True
             return None
         lib = ctypes.CDLL(_SO)
         lib.bsc_open.restype = ctypes.c_void_p
@@ -82,5 +86,6 @@ def load():
         lib.bsp_header_text.restype = ctypes.c_char_p
         lib.bsp_next_block.restype = ctypes.c_int
         lib.bsc_format_rows.restype = ctypes.c_int64
+        lib.bsc_format_bcf.restype = ctypes.c_int64
         _lib = lib
         return _lib

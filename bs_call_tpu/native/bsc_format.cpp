@@ -148,3 +148,232 @@ int64_t bsc_format_rows(
 }
 
 }  // extern "C"
+
+// ---- BCF2.2 record encoding (mirrors io/bcf.py) ----
+
+namespace {
+
+inline char *enc_size(char *p, int size, int btype) {
+    if (size < 15) {
+        *p++ = (char)((size << 4) | btype);
+        return p;
+    }
+    *p++ = (char)(0xF0 | btype);
+    // itf-style int1 for the length
+    if (size <= 127) {
+        *p++ = 0x11;
+        *p++ = (char)size;
+    } else if (size <= 32767) {
+        *p++ = 0x12;
+        memcpy(p, &size, 2);
+        p += 2;
+    } else {
+        *p++ = 0x13;
+        memcpy(p, &size, 4);
+        p += 4;
+    }
+    return p;
+}
+
+inline char *enc_int1(char *p, long long v) {
+    if (v >= -120 && v <= 127) {
+        *p++ = 0x11;
+        *p++ = (char)(int8_t)v;
+    } else if (v >= -32760 && v <= 32767) {
+        *p++ = 0x12;
+        int16_t x = (int16_t)v;
+        memcpy(p, &x, 2);
+        p += 2;
+    } else {
+        *p++ = 0x13;
+        int32_t x = (int32_t)v;
+        memcpy(p, &x, 4);
+        p += 4;
+    }
+    return p;
+}
+
+inline char *enc_vint(char *p, const long long *vals, int n) {
+    long long lo = 0, hi = 0;
+    for (int i = 0; i < n; i++) {
+        if (vals[i] < lo) lo = vals[i];
+        if (vals[i] > hi) hi = vals[i];
+    }
+    if (lo >= -120 && hi <= 127) {
+        p = enc_size(p, n, 1);
+        for (int i = 0; i < n; i++) *p++ = (char)(int8_t)vals[i];
+    } else if (lo >= -32760 && hi <= 32767) {
+        p = enc_size(p, n, 2);
+        for (int i = 0; i < n; i++) {
+            int16_t x = (int16_t)vals[i];
+            memcpy(p, &x, 2);
+            p += 2;
+        }
+    } else {
+        p = enc_size(p, n, 3);
+        for (int i = 0; i < n; i++) {
+            int32_t x = (int32_t)vals[i];
+            memcpy(p, &x, 4);
+            p += 4;
+        }
+    }
+    return p;
+}
+
+inline char *enc_str(char *p, const char *s, int n) {
+    p = enc_size(p, n, 7);
+    memcpy(p, s, n);
+    return p + n;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ids[]: PASS,fail,mac1,CX,GT,FT,GL,GQ,DP,MQ,QD,MC8,AMQ,CS,CG,FS dictionary
+// ids (same order as the reference's vcf_ids, print_vcf.c:755).
+// Returns bytes written or -1.
+int64_t bsc_format_bcf(
+    int64_t n, int32_t rid, const int32_t *ids,
+    const int64_t *pos, const int32_t *g, const int32_t *r,
+    const int64_t *flt, const uint8_t *mac1, const int64_t *phred,
+    const int64_t *dp1, const int32_t *mq, const int64_t *qd,
+    const int64_t *fs_int, const uint8_t *het,
+    const float *gl_vals, const int32_t *gl_len,
+    const int32_t *counts, const int32_t *quals,
+    const uint8_t *is_cg, const int64_t *cg_code,
+    const char *prf, const char *ctx,
+    const int64_t *rs_off, const char *rs_blob,
+    const char *alt_lut, int alt_stride,
+    const char *cs_lut, int cs_stride,
+    const char *ft_lut, int ft_stride,
+    const char *pbase, const uint8_t *gt_int_lut,
+    char *out, int64_t out_cap) {
+    char *p = out;
+    char *end = out + out_cap - 1024;
+    for (int64_t i = 0; i < n; i++) {
+        if (p >= end) return -1;
+        int gi = g[i];
+        int ri = r[i];
+        char *rec_start = p;
+        p += 8;  // l_shared/l_indiv backpatch
+        char *shared_start = p;
+        // core
+        memcpy(p, &rid, 4);
+        p += 4;
+        int32_t pos0 = (int32_t)(pos[i] - 1);
+        memcpy(p, &pos0, 4);
+        p += 4;
+        int32_t rlen = 1;
+        memcpy(p, &rlen, 4);
+        p += 4;
+        float qual = (float)phred[i];
+        memcpy(p, &qual, 4);
+        p += 4;
+        uint16_t n_info = 1;
+        const char *alt = alt_lut + (gi * 5 + ri) * alt_stride;
+        int n_alt = 0;
+        for (const char *a = alt; *a; a++)
+            if (*a != ',' && *a != '.') n_alt++;
+        uint16_t n_allele = 1 + n_alt;
+        memcpy(p, &n_info, 2);
+        p += 2;
+        memcpy(p, &n_allele, 2);
+        p += 2;
+        char *nfmt_pos = p;  // n_sample | n_fmt<<24
+        p += 4;
+        // ID
+        if (rs_off && rs_off[i + 1] > rs_off[i]) {
+            int ln = (int)(rs_off[i + 1] - rs_off[i]);
+            p = enc_str(p, rs_blob + rs_off[i], ln);
+        } else p = enc_size(p, 0, 7);
+        // alleles
+        p = enc_str(p, pbase + ri, 1);
+        for (const char *a = alt; *a; a++)
+            if (*a != ',' && *a != '.') p = enc_str(p, a, 1);
+        // FILTER
+        long long fid = flt[i] ? ids[1] : (mac1[i] ? ids[2] : ids[0]);
+        p = enc_vint(p, &fid, 1);
+        // INFO CX
+        p = enc_int1(p, ids[3]);
+        p = enc_str(p, prf + i * 5, 5);
+        int64_t l_shared = p - shared_start;
+        char *indiv_start = p;
+        int n_fmt = 0;
+        // GT
+        uint8_t gg = gt_int_lut[gi * 5 + ri];
+        long long gt2[2] = {gg >> 4, gg & 0xF};
+        p = enc_int1(p, ids[4]);
+        p = enc_vint(p, gt2, 2);
+        n_fmt++;
+        // FT
+        const char *ft = flt[i] ? ft_lut + (flt[i] & 15) * ft_stride : ft_lut;
+        p = enc_int1(p, ids[5]);
+        p = enc_str(p, ft, (int)strlen(ft));
+        n_fmt++;
+        // DP, MQ, GQ, QD
+        p = enc_int1(p, ids[8]);
+        p = enc_int1(p, dp1[i]);
+        n_fmt++;
+        p = enc_int1(p, ids[9]);
+        p = enc_int1(p, mq[i]);
+        n_fmt++;
+        p = enc_int1(p, ids[7]);
+        p = enc_int1(p, phred[i]);
+        n_fmt++;
+        p = enc_int1(p, ids[10]);
+        p = enc_int1(p, qd[i]);
+        n_fmt++;
+        // GL (float vector)
+        p = enc_int1(p, ids[6]);
+        p = enc_size(p, gl_len[i], 5);
+        memcpy(p, gl_vals + i * 5, gl_len[i] * 4);
+        p += gl_len[i] * 4;
+        n_fmt++;
+        // MC8
+        long long mc8[8];
+        for (int k = 0; k < 8; k++) mc8[k] = counts[i * 8 + k];
+        p = enc_int1(p, ids[11]);
+        p = enc_vint(p, mc8, 8);
+        n_fmt++;
+        // AMQ (nonzero-count categories)
+        long long amq[8];
+        int na = 0;
+        for (int k = 0; k < 8; k++)
+            if (counts[i * 8 + k] > 0) amq[na++] = quals[i * 8 + k];
+        if (na > 0) {
+            p = enc_int1(p, ids[12]);
+            p = enc_vint(p, amq, na);
+            n_fmt++;
+        }
+        // CS, CG, CX
+        const char *cs = cs_lut + gi * cs_stride;
+        p = enc_int1(p, ids[13]);
+        p = enc_str(p, cs, (int)strlen(cs));
+        n_fmt++;
+        p = enc_int1(p, ids[14]);
+        if (is_cg[i]) p = enc_str(p, "CG", 2);
+        else {
+            char cgc = (char)cg_code[i];
+            p = enc_str(p, &cgc, 1);
+        }
+        n_fmt++;
+        p = enc_int1(p, ids[3]);
+        p = enc_str(p, ctx + i * 5, 5);
+        n_fmt++;
+        if (het[i]) {
+            p = enc_int1(p, ids[15]);
+            p = enc_int1(p, fs_int[i]);
+            n_fmt++;
+        }
+        int64_t l_indiv = p - indiv_start;
+        uint32_t ns_nf = ((uint32_t)n_fmt << 24) | 1;
+        memcpy(nfmt_pos, &ns_nf, 4);
+        uint32_t ls = (uint32_t)l_shared, li = (uint32_t)l_indiv;
+        memcpy(rec_start, &ls, 4);
+        memcpy(rec_start + 4, &li, 4);
+    }
+    return p - out;
+}
+
+}  // extern "C"

@@ -142,6 +142,72 @@ _ALT_LUT = _lut_blob([ALT_STR[g][r] for g in range(10) for r in range(5)], 8)
 _CS_LUT = _lut_blob(CS_STR, 4)
 _FT_LUT = _lut_blob(FT_STR, 24)
 _PBASE_B5 = PBASE.encode()
+_GT_INT_LUT = bytes(
+    GT_INT[g][r] for g in range(10) for r in range(5)
+)
+
+# BCF dictionary id order (print_vcf.c:755)
+BCF_ID_NAMES = [
+    "PASS", "fail", "mac1", "CX", "GT", "FT", "GL", "GQ", "DP", "MQ",
+    "QD", "MC8", "AMQ", "CS", "CG", "FS",
+]
+
+
+def _native_format_bcf(bcf_writer, ctg, n, g, r, flt, mac1, prf_all,
+                       ctx_all, phred, dp1, mq, qd, gl_vals, gl_len, c,
+                       q8, cond_cg, cg_code, het, fs_int, pos_e,
+                       rs_ids) -> bool:
+    try:
+        import ctypes
+
+        from bs_call_tpu.native import load
+
+        lib = load()
+        if lib is None:
+            return False
+    except Exception:
+        return False
+    ids = np.array(
+        [bcf_writer.ids[nm] for nm in BCF_ID_NAMES], dtype=np.int32
+    )
+    if rs_ids is not None:
+        blobs = [(s or "").encode() for s in rs_ids]
+        rs_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in blobs], out=rs_off[1:])
+        rs_blob = b"".join(blobs)
+    else:
+        rs_off = np.zeros(n + 1, dtype=np.int64)
+        rs_blob = b""
+    cap = 1024 * (n + 2)
+    out = ctypes.create_string_buffer(cap)
+    i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)  # noqa: E731
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)  # noqa: E731
+    u8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    arrs = dict(
+        pos=i64(pos_e), g=i32(g), r=i32(r), flt=i64(flt), mac=u8(mac1),
+        ph=i64(phred), dp=i64(dp1), mq=i32(mq), qd=i64(qd), fs=i64(fs_int),
+        het=u8(het), glv=np.ascontiguousarray(gl_vals, dtype=np.float32),
+        gll=i32(gl_len), c=i32(c), q=i32(q8), cg=u8(cond_cg),
+        cgc=i64(cg_code),
+    )
+    written = lib.bsc_format_bcf(
+        ctypes.c_int64(n), ctypes.c_int32(ctg.vcf_rid),
+        ids.ctypes.data_as(ctypes.c_void_p),
+        P(arrs["pos"]), P(arrs["g"]), P(arrs["r"]), P(arrs["flt"]),
+        P(arrs["mac"]), P(arrs["ph"]), P(arrs["dp"]), P(arrs["mq"]),
+        P(arrs["qd"]), P(arrs["fs"]), P(arrs["het"]), P(arrs["glv"]),
+        P(arrs["gll"]), P(arrs["c"]), P(arrs["q"]), P(arrs["cg"]),
+        P(arrs["cgc"]),
+        prf_all.encode(), ctx_all.encode(),
+        rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
+        _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24, _PBASE_B5, _GT_INT_LUT,
+        out, ctypes.c_int64(cap),
+    )
+    if written < 0:
+        return False
+    bcf_writer._w.write(out.raw[:written])
+    return True
 
 
 def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
@@ -211,9 +277,11 @@ class VectorBlockEmitter:
     the caller through old_ctg/old_x/prev_cpg attributes (matching the
     scalar emitter)."""
 
-    def __init__(self, cfg, fileobj, stats=None, dbsnp=None):
+    def __init__(self, cfg, fileobj, stats=None, dbsnp=None,
+                 bcf_writer=None):
         self.cfg = cfg
         self._f = fileobj
+        self._bcf = bcf_writer
         self.stats = stats
         self.dbsnp = dbsnp
         self._dbsnp_ctg = None
@@ -397,6 +465,16 @@ class VectorBlockEmitter:
             )
 
         q8 = quals
+        if self._bcf is not None:
+            if n:
+                ok = _native_format_bcf(
+                    self._bcf, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
+                    phred, dp1, mq, qd, gl_vals, gl_len, c, q8, cond_cg,
+                    cg_code, het, fs_int, pos_e, rs_ids,
+                )
+                if not ok:
+                    raise RuntimeError("native BCF formatter unavailable")
+            return
         if n and _native_format(
             self._f, ctg, n, g, r, flt, mac1, prf_all, ctx_all, phred,
             dp1, mq, qd, gl_vals, gl_len, c, q8, cond_cg, cg_code, het,

@@ -90,6 +90,15 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
         vector_emitter = VectorBlockEmitter(
             cfg, out_fileobj, stats=stats, dbsnp=dbsnp
         )
+    elif cfg.out_file_type in (C.FT_BCF, C.FT_BCF_GZ):
+        from bs_call_tpu.native import load as _native_load
+        from bs_call_tpu.output.vector_site import VectorBlockEmitter
+
+        if _native_load() is not None:
+            vector_emitter = VectorBlockEmitter(
+                cfg, out_fileobj, stats=stats, dbsnp=dbsnp,
+                bcf_writer=writer,
+            )
     emitter.vector = vector_emitter
     engine = CallEngine(cfg)
     native = _try_native(cfg, table)
