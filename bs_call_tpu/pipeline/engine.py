@@ -69,14 +69,18 @@ class CallEngine:
                 np.zeros(0),
             )
         if self.cfg.exact or self._jax is None:
-            # Exact mode computes the model in vectorized float64 on the
-            # host: printed GL fields carry ~6 significant digits, which a
-            # float32 device result cannot reproduce reliably (its ll-sum
-            # error is ~1e-4 relative). A float32-pair ("df32") device
-            # path that restores f64-equivalent precision on TPU is the
-            # planned replacement. The f64 batch runs XLA-jitted on the
-            # host CPU backend when available, else NumPy.
-            res = self._call_f64_cpu(counts, quals, ref)
+            # Exact mode needs float64-grade likelihoods (printed GL
+            # fields carry ~6 significant digits; a plain f32 device
+            # result has ~1e-4 relative ll error). Two engines provide
+            # that: the df32 (double-float32) kernel on the accelerator
+            # (device="tpu"), or XLA-jitted float64 on the host CPU
+            # (default; NumPy fallback). Both land within ~1e-9 of
+            # float64, below the scalar-oracle tie threshold.
+            res = None
+            if self.cfg.device == "tpu" and self._jax is not None:
+                res = self._call_dd(counts, quals, ref)
+            if res is None:
+                res = self._call_f64_cpu(counts, quals, ref)
             if res is not None:
                 gt_prob, max_gt, margin, off = res
             else:
@@ -136,6 +140,17 @@ class CallEngine:
             margin[s:e] = np.asarray(mr)[:m]
             off[s:e] = np.asarray(of)[:m]
         return gt_prob, max_gt, margin, off
+
+    def _call_dd(self, counts, quals, ref):
+        """Double-float32 batch on the accelerator; None on failure."""
+        try:
+            from bs_call_tpu.ops.genotype_dd import call_genotypes_dd
+        except ImportError:
+            return None
+        try:
+            return call_genotypes_dd(counts, quals, ref, self._params)
+        except Exception:
+            return None
 
     def _call_f64_cpu(self, counts, quals, ref):
         """Float64 batch on the host CPU backend (XLA-jitted); None if
