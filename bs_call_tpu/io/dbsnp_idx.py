@@ -314,6 +314,12 @@ def main(argv=None):
     p.add_argument("-s", "--selected", default=None)
     p.add_argument("-m", "--maf-limit", type=float, default=1.0)
     p.add_argument("-u", "--unsorted", action="append", default=[])
+    p.add_argument(
+        "-S", "--sorted", action="store_true",
+        help="inputs are contig-sorted (scheduling hint in the reference, "
+        "dbSNP_command_line.c:97-99; accepted for CLI parity — the "
+        "builder sorts bins regardless)",
+    )
     p.add_argument("-@", "--threads", type=int, default=0)
     args = p.parse_args(argv)
     aliases = None

@@ -213,15 +213,21 @@ class CallEngine:
         soa = self.call_block_soa(
             counts2, qual_sum, mapq2_sum, ref_codes, agg=agg
         )
-        out: List[Optional[SiteCall]] = [None] * len(soa["covered"])
-        for j in np.nonzero(soa["covered"])[0]:
-            out[j] = SiteCall(
-                counts=soa["counts"][j],
-                quals=soa["quals"][j],
-                gt_prob=soa["gt_prob"][j],
-                fisher_strand=soa["fs"][j],
-                mq=int(soa["mq"][j]),
-                aq=int(soa["aq"][j]),
-                max_gt=int(soa["max_gt"][j]),
-            )
-        return out
+        return soa_to_calls(soa)
+
+
+def soa_to_calls(soa) -> List[Optional[SiteCall]]:
+    """Materialize per-position SiteCall objects from a call_block_soa
+    result (the scalar emitter's input shape)."""
+    out: List[Optional[SiteCall]] = [None] * len(soa["covered"])
+    for j in np.nonzero(soa["covered"])[0]:
+        out[j] = SiteCall(
+            counts=soa["counts"][j],
+            quals=soa["quals"][j],
+            gt_prob=soa["gt_prob"][j],
+            fisher_strand=soa["fs"][j],
+            mq=int(soa["mq"][j]),
+            aq=int(soa["aq"][j]),
+            max_gt=int(soa["max_gt"][j]),
+        )
+    return out

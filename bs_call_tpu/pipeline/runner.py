@@ -119,12 +119,12 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     return stats, table
 
 
-def _emit_block(
-    cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window,
-    x, y, agg=None,
-):
-    """Run the calling engine on one block and emit its sites, choosing the
-    vectorized path when eligible."""
+def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y):
+    """Emit one block's already-called sites (no engine work). Sequential
+    per emitter: carries the reference's 2-position lag state across
+    blocks (print_vcf.c:529-594)."""
+    from bs_call_tpu.pipeline.engine import soa_to_calls
+
     ve = getattr(emitter, "vector", None)
     sz = y - x + 1
     # NOTE: for blocks starting at x < 5 the reference's lag pipeline can
@@ -136,9 +136,6 @@ def _emit_block(
         r.start <= 1 and r.stop >= ctg.seq_len for r in ctg.regions
     )
     if ve is not None and sz >= 9 and regions_ok:
-        soa = engine.call_block_soa(
-            counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
-        )
         ve.old_ctg = emitter.old_ctg
         ve.old_x = emitter.old_x
         ve.prev_cpg_x = emitter.prev_cpg_x
@@ -149,12 +146,22 @@ def _emit_block(
         emitter.prev_cpg_x = ve.prev_cpg_x
         emitter.prev_cpg_flt = ve.prev_cpg_flt
         return
-    calls = engine.call_block(
-        counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
-    )
+    calls = soa_to_calls(soa)
     for i, call in enumerate(calls):
         emitter.push(ctg, call, ref_window, x + i, x, skip=call is None)
     emitter.flush()
+
+
+def _emit_block(
+    cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window,
+    x, y, agg=None,
+):
+    """Call + emit one block serially (the non-pipelined path)."""
+    sz = y - x + 1
+    soa = engine.call_block_soa(
+        counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
+    )
+    _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y)
 
 
 def _whole_contig_regions(table) -> bool:
@@ -256,6 +263,29 @@ def process_contig_blocks_native(
     if use_prefetch:
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+    # emit stage runs on its own thread (the reference's print_thread,
+    # process.c:74-110): formatting/writing block k overlaps the engine
+    # call for block k+1. A single ordered worker keeps the 2-position
+    # lag and CpG-pair state sequential. Block arrays are host copies
+    # (native/pipeline.py next_block), so no aliasing with the C++ side.
+    emit_q: "queue.Queue" = queue.Queue(maxsize=4)
+    emit_err: list = []
+
+    def emit_worker():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            if emit_err:
+                continue  # drain so the producer can't block
+            try:
+                with tracer.stage("emit"):
+                    _emit_block_soa(cfg, emitter, *item)
+            except Exception as e:
+                emit_err.append(e)
+
+    et = threading.Thread(target=emit_worker, daemon=True)
+    et.start()
     try:
         while True:
             with tracer.stage("ingest"):
@@ -265,9 +295,11 @@ def process_contig_blocks_native(
             if blk is None:
                 break
             ctg = table.contigs[table.tid2id[blk["tid"]]]
-            ctg.curr_reg = None
             if contig_seq is None or contig_seq.name != ctg.name:
                 tracer.progress(f"Processing contig {ctg.name}")
+                # native runs are whole-contig (see _try_native), so the
+                # scalar emitter's region walk state is simply cleared
+                ctg.curr_reg = None
                 contig_seq = fasta.load_contig(
                     ctg.name, calc_gc=stats is not None
                 )
@@ -286,18 +318,26 @@ def process_contig_blocks_native(
                     npipe.block_meth_profile(
                         ref_window, stats.meth_profile
                     )
-            with tracer.stage("call+emit"):
-                _emit_block(
-                    cfg, engine, emitter, ctg, blk["counts2"],
-                    blk["qual_sum"], blk["mapq2_sum"], ref_window, x, y,
-                    agg=blk.get("agg"),
+            with tracer.stage("call"):
+                soa = engine.call_block_soa(
+                    blk["counts2"], blk["qual_sum"], blk["mapq2_sum"],
+                    ref_window[:sz], agg=blk.get("agg"),
                 )
+            if emit_err:
+                raise emit_err[0]
+            emit_q.put((ctg, soa, ref_window, x, y))
+        emit_q.put(None)
+        et.join()
+        if emit_err:
+            raise emit_err[0]
         if stats is not None:
             fc, fb, bf = npipe.get_stats()
             stats.filter_cts += fc
             stats.filter_bases += fb
             stats.base_filter += bf
     finally:
+        if et.is_alive():
+            emit_q.put(None)
         npipe.close()
 
 
