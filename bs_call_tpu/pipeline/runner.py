@@ -119,7 +119,8 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     return stats, table
 
 
-def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y):
+def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y,
+                    hold_back=0):
     """Emit one block's already-called sites (no engine work). Sequential
     per emitter: carries the reference's 2-position lag state across
     blocks (print_vcf.c:529-594)."""
@@ -140,12 +141,13 @@ def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y):
         ve.old_x = emitter.old_x
         ve.prev_cpg_x = emitter.prev_cpg_x
         ve.prev_cpg_flt = emitter.prev_cpg_flt
-        ve.emit_block(ctg, soa, ref_window, x, y)
+        ve.emit_block(ctg, soa, ref_window, x, y, hold_back=hold_back)
         emitter.old_ctg = ve.old_ctg
         emitter.old_x = ve.old_x
         emitter.prev_cpg_x = ve.prev_cpg_x
         emitter.prev_cpg_flt = ve.prev_cpg_flt
         return
+    assert hold_back == 0  # streaming only runs on the vector path
     calls = soa_to_calls(soa)
     for i, call in enumerate(calls):
         emitter.push(ctg, call, ref_window, x + i, x, skip=call is None)
@@ -318,14 +320,45 @@ def process_contig_blocks_native(
                     npipe.block_meth_profile(
                         ref_window, stats.meth_profile
                     )
-            with tracer.stage("call"):
-                soa = engine.call_block_soa(
-                    blk["counts2"], blk["qual_sum"], blk["mapq2_sum"],
-                    ref_window[:sz], agg=blk.get("agg"),
+            # stream big blocks through the emit worker in chunks so the
+            # engine batch for chunk j+1 overlaps the formatting of chunk
+            # j even when the whole contig is one semantic block (dense
+            # WGBS coverage rarely breaks blocks). Chunks overlap by 4
+            # positions: 2 withheld lookahead rows + the 2-before context
+            # the next chunk re-supplies (see emit_block hold_back).
+            CHUNK = max(cfg.batch_positions, 1024)
+            stream = (
+                getattr(emitter, "vector", None) is not None
+                and sz > CHUNK + 16
+                and not getattr(ctg, "regions", None)
+            )
+            agg = blk.get("agg")
+            s = x
+            while True:
+                if stream and y - s + 1 > CHUNK + 16:
+                    e = s + CHUNK - 1
+                    hold = 2
+                else:
+                    e = y
+                    hold = 0
+                sl = slice(s - x, e - x + 1)
+                sub_agg = (
+                    {k: v[sl] for k, v in agg.items()} if agg else None
                 )
-            if emit_err:
-                raise emit_err[0]
-            emit_q.put((ctg, soa, ref_window, x, y))
+                with tracer.stage("call"):
+                    soa = engine.call_block_soa(
+                        blk["counts2"][sl], blk["qual_sum"][sl],
+                        blk["mapq2_sum"][sl],
+                        ref_window[s - x : e - x + 1], agg=sub_agg,
+                    )
+                if emit_err:
+                    raise emit_err[0]
+                emit_q.put(
+                    (ctg, soa, ref_window[s - x : e - x + 3], s, e, hold)
+                )
+                if not hold:
+                    break
+                s = e - 3
         emit_q.put(None)
         et.join()
         if emit_err:
