@@ -243,28 +243,41 @@ def process_contig_blocks_native(
     contig_seq = None
     # background ingest: the C++ pipeline releases the GIL, so block
     # production overlaps with calling + emission (the reference's
-    # reader-thread / process-thread split, process.c:43-72)
+    # reader-thread / process-thread split, process.c:43-72). Contig
+    # loading and the meth profile also live here: bsp_block_meth_profile
+    # references the pipeline's *staged* block, which stays valid exactly
+    # until this thread's next next_block call (the reference's
+    # mprof_thread, process.c:20-41). The loaded contig rides the block
+    # dict so the consumer never touches the FastaIndex.
     q: "queue.Queue" = queue.Queue(maxsize=2)
 
     def produce():
+        pseq = None
         try:
             while True:
                 b = npipe.next_block()
-                q.put(b)
                 if b is None:
+                    q.put(None)
                     return
+                cname = table.contigs[table.tid2id[b["tid"]]].name
+                if pseq is None or pseq.name != cname:
+                    pseq = fasta.load_contig(
+                        cname, calc_gc=stats is not None
+                    )
+                b["seq"] = pseq
+                if stats is not None:
+                    with tracer.stage("meth_prof"):
+                        rw = sequence_window(
+                            pseq, b["x"], b["y"] - b["x"] + 3
+                        )
+                        stats.grow_meth_profile(b["max_pos"] + 1)
+                        npipe.block_meth_profile(rw, stats.meth_profile)
+                q.put(b)
         except Exception as e:  # surface errors on the consumer side
             q.put(e)
 
-    # meth-profile accumulation happens on the consumer thread between
-    # next_block calls; the C++ pipeline object is only safe for one
-    # in-flight next_block, which the queue discipline guarantees —
-    # except bsp_block_* calls referencing the *current* staged block,
-    # so stats mode keeps the serial path.
-    use_prefetch = stats is None
-    if use_prefetch:
-        t = threading.Thread(target=produce, daemon=True)
-        t.start()
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
     # emit stage runs on its own thread (the reference's print_thread,
     # process.c:74-110): formatting/writing block k overlaps the engine
     # call for block k+1. A single ordered worker keeps the 2-position
@@ -291,7 +304,7 @@ def process_contig_blocks_native(
     try:
         while True:
             with tracer.stage("ingest"):
-                blk = q.get() if use_prefetch else npipe.next_block()
+                blk = q.get()
             if isinstance(blk, Exception):
                 raise blk
             if blk is None:
@@ -302,9 +315,7 @@ def process_contig_blocks_native(
                 # native runs are whole-contig (see _try_native), so the
                 # scalar emitter's region walk state is simply cleared
                 ctg.curr_reg = None
-                contig_seq = fasta.load_contig(
-                    ctg.name, calc_gc=stats is not None
-                )
+                contig_seq = blk["seq"]
                 ctg.gc_start_pos = contig_seq.start_pos
                 if ctg.ctg_stats is not None:
                     ctg.ctg_stats.gc = contig_seq.gc_bins
@@ -314,12 +325,6 @@ def process_contig_blocks_native(
             tracer.count("templates", blk["n_templates"])
             tracer.count("positions", sz)
             ref_window = sequence_window(contig_seq, x, sz + 2)
-            if stats is not None:
-                with tracer.stage("meth_prof"):
-                    stats.grow_meth_profile(blk["max_pos"] + 1)
-                    npipe.block_meth_profile(
-                        ref_window, stats.meth_profile
-                    )
             # stream big blocks through the emit worker in chunks so the
             # engine batch for chunk j+1 overlaps the formatting of chunk
             # j even when the whole contig is one semantic block (dense
