@@ -49,20 +49,75 @@ def open_reader(path: str):
 
 
 class BgzfWriter:
-    """Streaming BGZF writer (used for .vcf.gz / BAM test fixtures)."""
+    """Streaming BGZF writer (used for .vcf.gz / BAM test fixtures).
 
-    def __init__(self, fileobj, level: int = 6):
+    With threads > 1 (and the native library available), complete 64K
+    payloads are batched and deflated in parallel by
+    native/bsc_bgzf.cpp — the reference's htslib output thread pool
+    (parse_args.c:196-211). Blocks are compressed independently at the
+    same zlib level, so the output bytes are identical to the serial
+    path."""
+
+    # buffer this much before a native batch (64 payloads ≈ 4 MiB)
+    _BATCH = 64 * 0xFF00
+
+    def __init__(self, fileobj, level: int = 6, threads: int = 0):
         self._f = fileobj
         self._level = level
         self._buf = bytearray()
         self._closed = False
+        self._native = None
+        self._threads = max(1, int(threads or 0))
+        if self._threads > 1:
+            try:
+                from bs_call_tpu.native import load
+
+                self._native = load()
+            except Exception:
+                self._native = None
 
     def write(self, data: bytes) -> int:
         self._buf += data
+        if self._native is not None:
+            if len(self._buf) >= self._BATCH:
+                self._drain_native()
+            return len(data)
         while len(self._buf) >= 0xFF00:
             self._flush_block(self._buf[:0xFF00])
             del self._buf[:0xFF00]
         return len(data)
+
+    def _drain_native(self):
+        """Compress all complete 64K payloads in one parallel batch."""
+        import ctypes
+
+        import numpy as np
+
+        nblk = len(self._buf) // 0xFF00
+        if not nblk:
+            return
+        take = nblk * 0xFF00
+        # copy out of the bytearray: a frombuffer view would block the
+        # `del self._buf[:take]` resize below (exported buffer)
+        src = np.frombuffer(bytes(self._buf[:take]), dtype=np.uint8)
+        cap = nblk * (0xFF00 + 1050)
+        out = np.empty(cap, dtype=np.uint8)
+        w = self._native.bsc_bgzf_deflate_batch(
+            src.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(take),
+            ctypes.c_int(self._level),
+            ctypes.c_int(self._threads),
+            out.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(cap),
+        )
+        if w < 0:  # zlib error: fall back to the serial path for good
+            self._native = None
+            while len(self._buf) >= 0xFF00:
+                self._flush_block(self._buf[:0xFF00])
+                del self._buf[:0xFF00]
+            return
+        self._f.write(memoryview(out.data)[:w])
+        del self._buf[:take]
 
     def _flush_block(self, payload: bytes):
         co = zlib.compressobj(self._level, zlib.DEFLATED, -15)
@@ -81,6 +136,11 @@ class BgzfWriter:
         self._f.write(block)
 
     def flush(self):
+        if self._native is not None:
+            self._drain_native()
+        while len(self._buf) >= 0xFF00:
+            self._flush_block(self._buf[:0xFF00])
+            del self._buf[:0xFF00]
         if self._buf:
             self._flush_block(self._buf)
             self._buf.clear()

@@ -12,6 +12,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_ingest.cpp"),
     os.path.join(_DIR, "bsc_pipeline.cpp"),
     os.path.join(_DIR, "bsc_format.cpp"),
+    os.path.join(_DIR, "bsc_bgzf.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -87,5 +88,6 @@ def load():
         lib.bsp_next_block.restype = ctypes.c_int
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
+        lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64
         _lib = lib
         return _lib

@@ -70,7 +70,8 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     elif cfg.out_file_type == C.FT_VCF_GZ:
         from bs_call_tpu.io.bgzf import BgzfWriter
 
-        writer = VcfTextWriter(BgzfWriter(out_fileobj), table)
+        gz_writer = BgzfWriter(out_fileobj, threads=cfg.threads)
+        writer = VcfTextWriter(gz_writer, table)
         writer.write_header(hdr_lines)
     else:
         writer = VcfTextWriter(out_fileobj, table)
@@ -78,8 +79,11 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     emitter = SiteEmitter(
         cfg, table, writer.write_site, stats=stats, dbsnp=dbsnp
     )
-    # fast block-vectorized emission for plain-text output (with or
-    # without stats/dbSNP); small or edge blocks still use the scalar path
+    # fast block-vectorized emission for text output (plain or bgzipped,
+    # with or without stats/dbSNP); small or edge blocks still use the
+    # scalar path. For .vcf.gz the vector emitter feeds the same
+    # BgzfWriter as the scalar writer, so the compressed stream is
+    # identical either way.
     vector_emitter = None
     if isinstance(writer, VcfTextWriter) and cfg.out_file_type in (
         C.FT_VCF,
@@ -89,6 +93,12 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
 
         vector_emitter = VectorBlockEmitter(
             cfg, out_fileobj, stats=stats, dbsnp=dbsnp
+        )
+    elif cfg.out_file_type == C.FT_VCF_GZ:
+        from bs_call_tpu.output.vector_site import VectorBlockEmitter
+
+        vector_emitter = VectorBlockEmitter(
+            cfg, gz_writer, stats=stats, dbsnp=dbsnp
         )
     elif cfg.out_file_type in (C.FT_BCF, C.FT_BCF_GZ):
         from bs_call_tpu.native import load as _native_load
