@@ -88,9 +88,9 @@ def enc_string(s: str) -> bytes:
 
 
 class BcfWriter:
-    def __init__(self, fileobj, header_lines: List[str]):
+    def __init__(self, fileobj, header_lines: List[str], threads: int = 0):
         self._raw = fileobj
-        self._w = BgzfWriter(fileobj)
+        self._w = BgzfWriter(fileobj, threads=threads)
         text = "\n".join(header_lines) + "\n\x00"
         tb = text.encode()
         self._w.write(b"BCF\x02\x02" + struct.pack("<I", len(tb)) + tb)

@@ -180,7 +180,7 @@ def _native_format_bcf(bcf_writer, ctg, n, g, r, flt, mac1, prf_all,
         rs_off = np.zeros(n + 1, dtype=np.int64)
         rs_blob = b""
     cap = 1024 * (n + 2)
-    out = ctypes.create_string_buffer(cap)
+    out = np.empty(cap, dtype=np.uint8)  # uninitialized (see text path)
     i64 = lambda a: np.ascontiguousarray(a, dtype=np.int64)  # noqa: E731
     i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)  # noqa: E731
     u8 = lambda a: np.ascontiguousarray(a, dtype=np.uint8)  # noqa: E731
@@ -203,11 +203,11 @@ def _native_format_bcf(bcf_writer, ctg, n, g, r, flt, mac1, prf_all,
         prf_all.encode(), ctx_all.encode(),
         rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
         _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24, _PBASE_B5, _GT_INT_LUT,
-        out, ctypes.c_int64(cap),
+        P(out), ctypes.c_int64(cap),
     )
     if written < 0:
         return False
-    bcf_writer._w.write(out.raw[:written])
+    bcf_writer._w.write(memoryview(out.data)[:written])
     return True
 
 
