@@ -141,11 +141,27 @@ class IndexedBamReader:
     analogue)."""
 
     def __init__(self, bam_path: str, bai_path: str = None):
+        import os
+
         self._reader = BamReader(bam_path)  # header parse
         self.header = self._reader.header
         self._reader.close()
         self._bgzf = BgzfRandomAccess(bam_path)
-        self.index = BaiIndex(bai_path or bam_path + ".bai")
+        # index resolution like htslib's sam_index_load: explicit path,
+        # else <bam>.bai then <bam>.csi (process.c:125)
+        if bai_path is None:
+            if os.path.exists(bam_path + ".bai"):
+                bai_path = bam_path + ".bai"
+            elif os.path.exists(bam_path + ".csi"):
+                bai_path = bam_path + ".csi"
+            else:
+                bai_path = bam_path + ".bai"  # raise the usual error
+        if bai_path.endswith(".csi"):
+            from bs_call_tpu.io.csi import CsiIndex
+
+            self.index = CsiIndex(bai_path)
+        else:
+            self.index = BaiIndex(bai_path)
 
     def query(self, tid: int, beg: int, end: int) -> Iterator[BamRec]:
         """Yield records overlapping 0-based [beg, end), in order."""
@@ -226,11 +242,10 @@ def _parse_record(data: bytes, off: int, bs: int) -> BamRec:
     )
 
 
-def write_bai(bam_path: str, out_path: str = None):
-    """Build a .bai for a coordinate-sorted BAM (the `samtools index`
-    analogue, used by tests and as a utility)."""
-    out_path = out_path or bam_path + ".bai"
-    # walk the BGZF stream recording virtual offsets per record
+def _walk_records(bam_path: str, reg2bin_fn):
+    """Walk a BAM recording (bin -> chunk list) and 16kb linear-interval
+    offsets per reference; shared by the .bai and .csi builders.
+    Returns (n_ref, refs, intvs)."""
     bg = BgzfRandomAccess(bam_path)
     # parse header length first to find the first record voffset
     coff = 0
@@ -289,13 +304,22 @@ def write_bai(bam_path: str, out_path: str = None):
                 span += w >> 4
         if tid >= 0 and pos >= 0:
             end = pos + max(span, 1)
-            bin_ = _reg2bin(pos, end)
+            bin_ = reg2bin_fn(pos, end)
             refs[tid].setdefault(bin_, []).append((start_v, end_v))
             for iv in range(pos >> 14, ((end - 1) >> 14) + 1):
                 cur = intvs[tid].get(iv)
                 if cur is None or start_v < cur:
                     intvs[tid][iv] = start_v
         p += 4 + bs
+    bg.close()
+    return n_ref, refs, intvs
+
+
+def write_bai(bam_path: str, out_path: str = None):
+    """Build a .bai for a coordinate-sorted BAM (the `samtools index`
+    analogue, used by tests and as a utility)."""
+    out_path = out_path or bam_path + ".bai"
+    n_ref, refs, intvs = _walk_records(bam_path, _reg2bin)
     out = bytearray(b"BAI\x01")
     out += struct.pack("<i", n_ref)
     for tid in range(n_ref):
@@ -321,7 +345,6 @@ def write_bai(bam_path: str, out_path: str = None):
             out += struct.pack("<Q", last)
     with open(out_path, "wb") as f:
         f.write(bytes(out))
-    bg.close()
     return out_path
 
 

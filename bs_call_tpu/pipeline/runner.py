@@ -390,13 +390,17 @@ def process_contig_blocks_native(
 
 
 def _indexed_region_records(cfg, table):
-    """Per-region record iteration through a .bai index (the reference's
-    sam_itr_queryi path, get_template_vector.c:69-101). Returns None when
-    no usable index exists. Records starting inside an earlier region of
-    the same contig are skipped (they were already yielded there)."""
+    """Per-region record iteration through a .bai/.csi index (the
+    reference's sam_itr_queryi path, get_template_vector.c:69-101).
+    Returns None when no usable index exists. Records starting inside an
+    earlier region of the same contig are skipped (they were already
+    yielded there)."""
     import os
 
-    if not cfg.input_file or not os.path.exists(cfg.input_file + ".bai"):
+    if not cfg.input_file or not (
+        os.path.exists(cfg.input_file + ".bai")
+        or os.path.exists(cfg.input_file + ".csi")
+    ):
         return None
     try:
         from bs_call_tpu.io.bai import IndexedBamReader
