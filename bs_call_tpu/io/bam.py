@@ -153,13 +153,15 @@ def decode_bs_strand(aux: bytes) -> int:
 
 
 class BamReader:
-    """Sequential BAM reader."""
+    """Sequential BAM reader (path, or any stream with read() — e.g.
+    gzip-wrapped stdin; the reference reads BAM from pipes through
+    htslib, process.c:112-137)."""
 
-    def __init__(self, path: str):
-        self._f = open_reader(path)
+    def __init__(self, path: str = None, fileobj=None):
+        self._f = fileobj if fileobj is not None else open_reader(path)
         magic = self._f.read(4)
         if magic != b"BAM\x01":
-            raise ValueError(f"{path}: not a BAM file")
+            raise ValueError(f"{path or '<stream>'}: not a BAM file")
         (l_text,) = struct.unpack("<i", self._f.read(4))
         text = self._f.read(l_text).rstrip(b"\x00").decode()
         (n_ref,) = struct.unpack("<i", self._f.read(4))

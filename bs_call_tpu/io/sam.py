@@ -149,6 +149,31 @@ class SamReader:
         self._f.close()
 
 
+class _PrefixedStream:
+    """read()-only stream serving `prefix` bytes before delegating to the
+    wrapped stream (lets a sniffed magic be pushed back on a pipe)."""
+
+    def __init__(self, prefix: bytes, f):
+        self._p = prefix
+        self._f = f
+
+    def read(self, n: int = -1) -> bytes:
+        if self._p:
+            if n is None or n < 0:
+                out = self._p + self._f.read()
+                self._p = b""
+                return out
+            out = self._p[:n]
+            self._p = self._p[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+    def close(self):
+        self._f.close()
+
+
 def open_alignment_file(
     path: str, native: bool = True, threads: int = 4, reference=None
 ):
@@ -167,14 +192,12 @@ def open_alignment_file(
         head = buf.peek(4)[:4]
         if head[:2] == b"\x1f\x8b":
             gz = gzip.GzipFile(fileobj=buf)
-            magic = gz.peek(4)[:4] if hasattr(gz, "peek") else b""
-            # BAM = gzip-wrapped binary with BAM\1 magic
+            # BAM = gzip(BGZF)-wrapped binary with BAM\1 magic; stream it
+            # (no full buffering) through a probe-prefixed shim
             probe = gz.read(4)
-            data = iomod.BytesIO(probe + gz.read())
             if probe == b"BAM\x01":
-                raise NotImplementedError(
-                    "BAM from stdin is not supported yet; pass a file path"
-                )
+                return BamReader(fileobj=_PrefixedStream(probe, gz))
+            data = iomod.BytesIO(probe + gz.read())
             data.seek(0)
             return SamReader(iomod.BufferedReader(data))
         return SamReader(buf)

@@ -1,0 +1,57 @@
+"""Streaming input from stdin ('-'): SAM, gzipped SAM, and BAM, matching
+the reference's pipe support through htslib (process.c:112-137)."""
+
+import gzip
+import io
+import sys
+
+import numpy as np
+
+from bs_call_tpu.io.bam import BamHeader, BamReader, BamWriter
+from bs_call_tpu.io.sam import open_alignment_file
+
+
+class _FakeStdin:
+    def __init__(self, data: bytes):
+        self.buffer = io.BytesIO(data)
+
+
+def _bam_bytes(tmp_path, n=300):
+    rng = np.random.default_rng(0)
+    hdr = BamHeader(
+        text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:100000\n",
+        ref_names=["chr1"],
+        ref_lens=[100000],
+    )
+    p = tmp_path / "t.bam"
+    w = BamWriter(str(p), hdr)
+    seq = "".join(rng.choice(list("ACGT"), 100))
+    for k, pos in enumerate(np.sort(rng.integers(0, 99000, n))):
+        q = rng.integers(20, 44, 100).astype(np.uint8)
+        w.write(f"r{k}", 0, 0, int(pos), 60, [(100, 0)], -1, -1, 0, seq, q)
+    w.close()
+    return str(p), open(p, "rb").read()
+
+
+def test_bam_from_stdin(tmp_path, monkeypatch):
+    path, raw = _bam_bytes(tmp_path)
+    want = [(r.name, r.pos) for r in BamReader(path)]
+    monkeypatch.setattr(sys, "stdin", _FakeStdin(raw))
+    rd = open_alignment_file("-")
+    assert isinstance(rd, BamReader)
+    got = [(r.name, r.pos) for r in rd]
+    assert got == want
+
+
+def test_sam_and_gz_sam_from_stdin(tmp_path, monkeypatch):
+    sam = (
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chr1\tLN:1000\n"
+        "r1\t0\tchr1\t10\t60\t5M\t*\t0\t0\tACGTA\tIIIII\n"
+        "r2\t0\tchr1\t20\t60\t5M\t*\t0\t0\tTTTTT\tIIIII\n"
+    ).encode()
+    for payload in (sam, gzip.compress(sam)):
+        monkeypatch.setattr(sys, "stdin", _FakeStdin(payload))
+        rd = open_alignment_file("-")
+        names = [r.name for r in rd]
+        assert names == ["r1", "r2"]
