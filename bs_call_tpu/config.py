@@ -43,7 +43,10 @@ class CallerConfig:
     verbose: bool = False
     exact: bool = True             # run the float64 libm rescue pass
     reference_quirks: bool = True  # reproduce benign reference bugs for parity
-    batch_positions: int = 1 << 16 # device batch size (padded)
+    # engine batch / emit-stream chunk size (padded to one compiled
+    # shape). Swept on the 4-core host: 16k/32k ≈ 122k reads/s, 64k 102k,
+    # 128k 61k (bigger chunks starve the call/emit overlap)
+    batch_positions: int = 1 << 15
 
     def sanitize(self):
         mq = self.min_qual
