@@ -260,6 +260,17 @@ def process_contig_blocks_native(
     # mprof_thread, process.c:20-41). The loaded contig rides the block
     # dict so the consumer never touches the FastaIndex.
     q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()  # consumer error: producer must exit before
+    # npipe.close() or bsp_next_block races the C++ teardown
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         pseq = None
@@ -267,7 +278,7 @@ def process_contig_blocks_native(
             while True:
                 b = npipe.next_block()
                 if b is None:
-                    q.put(None)
+                    _put(None)
                     return
                 cname = table.contigs[table.tid2id[b["tid"]]].name
                 if pseq is None or pseq.name != cname:
@@ -282,9 +293,10 @@ def process_contig_blocks_native(
                         )
                         stats.grow_meth_profile(b["max_pos"] + 1)
                         npipe.block_meth_profile(rw, stats.meth_profile)
-                q.put(b)
+                if not _put(b):
+                    return
         except Exception as e:  # surface errors on the consumer side
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=produce, daemon=True)
     t.start()
@@ -386,6 +398,16 @@ def process_contig_blocks_native(
     finally:
         if et.is_alive():
             emit_q.put(None)
+        # the producer may be blocked on q.put or inside next_block;
+        # closing npipe under it would free the C++ pipeline it is using
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(0.05)
+        et.join(timeout=10)  # emitter writes to caller-owned fileobj
         npipe.close()
 
 
