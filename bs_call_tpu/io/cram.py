@@ -61,6 +61,18 @@ CF_MATE_DOWNSTREAM = 0x4
 CF_NO_SEQ = 0x8
 
 _B2C = {"A": 1, "C": 2, "G": 3, "T": 4, "N": 0}
+_B2C_TAB = np.zeros(256, dtype=np.uint8)
+for _b, _c in _B2C.items():
+    _B2C_TAB[ord(_b)] = _c
+
+
+def _bulk_bytes(codec, core, ext, n: int) -> bytes:
+    """Read n data-series bytes, using the codec's bulk path when it has
+    one (EXTERNAL: a single slice instead of n per-byte calls)."""
+    rb = getattr(codec, "read_bytes", None)
+    if rb is not None:
+        return rb(core, ext, n)
+    return bytes(codec.read_byte(core, ext) for _ in range(n))
 _CODE2B = "NACGT"
 
 
@@ -609,22 +621,17 @@ class CramReader:
                     ch, ref_codes, pos, rl, feats
                 )
                 if cf & CF_QS_PRESERVED:
-                    q = S["QS"].read_array_n(core, ext, rl) if hasattr(
-                        S["QS"], "read_array_n"
-                    ) else bytes(
-                        S["QS"].read_byte(core, ext) for _ in range(rl)
-                    )
+                    q = _bulk_bytes(S["QS"], core, ext, rl)
                     quals = np.frombuffer(bytes(q), dtype=np.uint8).copy()
             else:
                 if not (cf & CF_NO_SEQ):
-                    ba = S["BA"]
-                    seq = bytes(ba.read_byte(core, ext) for _ in range(rl))
-                    seq_codes = np.array(
-                        [_B2C.get(chr(c), 0) for c in seq], dtype=np.uint8
-                    )
+                    seq = _bulk_bytes(S["BA"], core, ext, rl)
+                    seq_codes = _B2C_TAB[
+                        np.frombuffer(bytes(seq), dtype=np.uint8)
+                    ].copy()
                 if cf & CF_QS_PRESERVED:
-                    q = bytes(S["QS"].read_byte(core, ext) for _ in range(rl))
-                    quals = np.frombuffer(q, dtype=np.uint8).copy()
+                    q = _bulk_bytes(S["QS"], core, ext, rl)
+                    quals = np.frombuffer(bytes(q), dtype=np.uint8).copy()
                 cigar = []
             rec = BamRec(
                 name=name,

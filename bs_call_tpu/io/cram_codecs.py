@@ -248,9 +248,39 @@ def rans_decode(data: bytes) -> bytes:
     (usize,) = struct.unpack_from("<I", data, 5)
     if usize == 0:
         return b""
+    out = _rans_decode_native(order, data[9:], usize)
+    if out is not None:
+        return out
     if order == 0:
         return _rans_decode_o0(data[9:], usize)
     return _rans_decode_o1(data[9:], usize)
+
+
+def _rans_decode_native(order: int, buf: bytes, usize: int):
+    """C++ decoder (native/bsc_rans.cpp); None -> Python fallback."""
+    try:
+        import ctypes
+
+        from bs_call_tpu.native import load
+
+        lib = load()
+        if lib is None:
+            return None
+    except Exception:
+        return None
+    import numpy as np
+
+    out = np.empty(usize, dtype=np.uint8)
+    fn = lib.bsc_rans_decode_o0 if order == 0 else lib.bsc_rans_decode_o1
+    r = fn(
+        buf,
+        ctypes.c_int64(len(buf)),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(usize),
+    )
+    if r != usize:
+        return None
+    return out.tobytes()
 
 
 def _decode_tables(freqs):

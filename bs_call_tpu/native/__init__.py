@@ -13,6 +13,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_pipeline.cpp"),
     os.path.join(_DIR, "bsc_format.cpp"),
     os.path.join(_DIR, "bsc_bgzf.cpp"),
+    os.path.join(_DIR, "bsc_rans.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -89,5 +90,7 @@ def load():
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64
+        lib.bsc_rans_decode_o0.restype = ctypes.c_int64
+        lib.bsc_rans_decode_o1.restype = ctypes.c_int64
         _lib = lib
         return _lib
