@@ -33,49 +33,53 @@ def flatten_block(
     that passes the leading/trailing mask trim (call_genotypes.c:196-213).
     pos_off is the position offset relative to x; entries beyond y are
     dropped (the C loop stops at pos > y)."""
-    pos_l, cat_l, q_l, ori_l, mq_l = [], [], [], [], []
+    # gather per-(template, segment) metadata in C order, then process
+    # the whole block in one vectorized pass (the per-read numpy version
+    # of this loop was ~20us/read — block-level reduceat is ~10x less)
+    reads, p0_l, ori_l_, st_l, mq_l_ = [], [], [], [], []
     for al in align_list:
-        x1 = al.forward_position
-        if x1 == 0:
-            x1 = al.reverse_position
-        elif al.reverse_position > 0 and al.reverse_position < x1:
-            x1 = al.reverse_position
         ori = al.orientation
         st = al.bs_strand
         for k in range(2):
             rd = al.read[k]
-            if rd is None or len(rd) == 0:
-                ori ^= 1
-                continue
-            q = (rd >> 2).astype(np.int32)
-            base = (rd & 3).astype(np.int32)
-            live = (q > 0) & (q != FLT_QUAL)
-            idx = np.nonzero(live)[0]
-            if len(idx) == 0:
-                ori ^= 1
-                continue
-            read_start, read_end = int(idx[0]), int(idx[-1])
-            pos = (al.reverse_position if k else al.forward_position) + read_start
-            j = np.arange(read_start, read_end + 1)
-            positions = pos + (j - read_start)
-            keep = positions <= y
-            j = j[keep]
-            positions = positions[keep]
-            pos_l.append(positions - x)
-            cat_l.append(BASE_TAB_ST[st, base[j]])
-            q_l.append(q[j])
-            ori_l.append(np.full(len(j), ori, dtype=np.int32))
-            mq_l.append(np.full(len(j), al.mapq[k], dtype=np.int32))
+            if rd is not None and len(rd):
+                reads.append(rd)
+                p0_l.append(al.reverse_position if k else al.forward_position)
+                ori_l_.append(ori)
+                st_l.append(st)
+                mq_l_.append(al.mapq[k])
             ori ^= 1
-    if not pos_l:
+    if not reads:
         z = np.zeros(0, dtype=np.int32)
         return z, z, z, z, z
+    lens = np.fromiter((len(r) for r in reads), dtype=np.int64,
+                       count=len(reads))
+    offs = np.zeros(len(reads), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    total = int(offs[-1] + lens[-1])
+    big = np.concatenate(reads)
+    q = (big >> 2).astype(np.int32)
+    base = (big & 3).astype(np.int32)
+    rid = np.repeat(np.arange(len(reads)), lens)
+    j = np.arange(total, dtype=np.int64) - offs[rid]
+    # leading/trailing mask trim per read (call_genotypes.c:196-213):
+    # only bases between the first and last live (q>0, q!=FLT) survive;
+    # interior masked bases stay in the stream (the caller's min-qual
+    # filter drops them exactly as the C loop's qual check does)
+    live = (q > 0) & (q != FLT_QUAL)
+    jlive_lo = np.where(live, j, np.int64(1 << 60))
+    jlive_hi = np.where(live, j, np.int64(-1))
+    lo = np.minimum.reduceat(jlive_lo, offs)
+    hi = np.maximum.reduceat(jlive_hi, offs)
+    positions = np.asarray(p0_l, dtype=np.int64)[rid] + j
+    keep = (j >= lo[rid]) & (j <= hi[rid]) & (positions <= y)
+    st_arr = np.asarray(st_l, dtype=np.int32)[rid[keep]]
     return (
-        np.concatenate(pos_l).astype(np.int32),
-        np.concatenate(cat_l).astype(np.int32),
-        np.concatenate(q_l).astype(np.int32),
-        np.concatenate(ori_l).astype(np.int32),
-        np.concatenate(mq_l).astype(np.int32),
+        (positions[keep] - x).astype(np.int32),
+        BASE_TAB_ST[st_arr, base[keep]].astype(np.int32),
+        q[keep],
+        np.asarray(ori_l_, dtype=np.int32)[rid[keep]],
+        np.asarray(mq_l_, dtype=np.int32)[rid[keep]],
     )
 
 

@@ -130,12 +130,14 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
 
 
 def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y,
-                    hold_back=0):
+                    hold_back=0, region=None):
     """Emit one block's already-called sites (no engine work). Sequential
     per emitter: carries the reference's 2-position lag state across
-    blocks (print_vcf.c:529-594)."""
+    blocks (print_vcf.c:529-594). ctg.curr_reg is owned by this (emit)
+    stage — producer threads must not touch it."""
     from bs_call_tpu.pipeline.engine import soa_to_calls
 
+    ctg.curr_reg = region
     ve = getattr(emitter, "vector", None)
     sz = y - x + 1
     # NOTE: for blocks starting at x < 5 the reference's lag pipeline can
@@ -166,14 +168,15 @@ def _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y,
 
 def _emit_block(
     cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum, ref_window,
-    x, y, agg=None,
+    x, y, agg=None, region=None,
 ):
     """Call + emit one block serially (the non-pipelined path)."""
     sz = y - x + 1
     soa = engine.call_block_soa(
         counts2, qual_sum, mapq2_sum, ref_window[:sz], agg=agg
     )
-    _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y)
+    _emit_block_soa(cfg, emitter, ctg, soa, ref_window, x, y,
+                    region=region)
 
 
 def _whole_contig_regions(table) -> bool:
@@ -334,9 +337,6 @@ def process_contig_blocks_native(
             ctg = table.contigs[table.tid2id[blk["tid"]]]
             if contig_seq is None or contig_seq.name != ctg.name:
                 tracer.progress(f"Processing contig {ctg.name}")
-                # native runs are whole-contig (see _try_native), so the
-                # scalar emitter's region walk state is simply cleared
-                ctg.curr_reg = None
                 contig_seq = blk["seq"]
                 ctg.gc_start_pos = contig_seq.start_pos
                 if ctg.ctg_stats is not None:
@@ -456,11 +456,16 @@ def _indexed_region_records(cfg, table):
 
 def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats,
                           tracer=None):
-    """Iterate blocks, normalize templates, call genotypes, emit sites."""
+    """Python-path driver (SAM/CRAM/stdin/partial regions): same 3-stage
+    thread pipeline as the native driver — block building + template
+    normalization + pileup on a producer thread, engine batches on this
+    thread, ordered emission on an emit worker."""
+    import queue
+    import threading
+
     from bs_call_tpu.utils.trace import NULL_TRACER
 
     tracer = tracer or NULL_TRACER
-    contig_seq = None  # loaded lazily per contig
     records = iter(reader)
     prefiltered = False
     if table.regions:
@@ -468,41 +473,119 @@ def process_contig_blocks(cfg, reader, table, fasta, engine, emitter, stats,
         if indexed is not None:
             records = indexed
             prefiltered = True
-    for block in read_blocks(
-        records, table, cfg, stats=stats, prefiltered=prefiltered
-    ):
-        ctg = block.ctg
-        ctg.curr_reg = block.region
-        if contig_seq is None or contig_seq.name != ctg.name:
-            contig_seq = fasta.load_contig(
-                ctg.name, calc_gc=stats is not None
-            )
-            ctg.gc_start_pos = contig_seq.start_pos
-            if ctg.ctg_stats is not None:
-                ctg.ctg_stats.gc = contig_seq.gc_bins
-        y = block.y
-        first = block.align_list[0]
-        x = first.forward_position or first.reverse_position
-        assert 0 < x <= y
-        x = x - 2 if x > 2 else 1
-        sz = y - x + 1
-        ref_window = sequence_window(contig_seq, x, sz + 2)
-        max_pos_all = 0
-        for al in block.align_list:
-            orig_pos, max_pos = process_template(
-                al,
-                cfg.left_trim,
-                cfg.right_trim,
-                stats=stats,
-                min_qual=cfg.min_qual,
-            )
-            if stats is not None:
-                meth_profile(al, x, orig_pos, max_pos, ref_window, stats)
-            max_pos_all = max(max_pos_all, max_pos)
-        counts2, qual_sum, mapq2_sum = build_pileup(
-            block.align_list, x, y, cfg.min_qual
-        )
-        _emit_block(
-            cfg, engine, emitter, ctg, counts2, qual_sum, mapq2_sum,
-            ref_window, x, y,
-        )
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def produce():
+        contig_seq = None
+        try:
+            for block in read_blocks(
+                records, table, cfg, stats=stats, prefiltered=prefiltered
+            ):
+                ctg = block.ctg
+                if contig_seq is None or contig_seq.name != ctg.name:
+                    contig_seq = fasta.load_contig(
+                        ctg.name, calc_gc=stats is not None
+                    )
+                    ctg.gc_start_pos = contig_seq.start_pos
+                    if ctg.ctg_stats is not None:
+                        ctg.ctg_stats.gc = contig_seq.gc_bins
+                y = block.y
+                first = block.align_list[0]
+                x = first.forward_position or first.reverse_position
+                assert 0 < x <= y
+                x = x - 2 if x > 2 else 1
+                sz = y - x + 1
+                ref_window = sequence_window(contig_seq, x, sz + 2)
+                with tracer.stage("normalize"):
+                    for al in block.align_list:
+                        orig_pos, max_pos = process_template(
+                            al,
+                            cfg.left_trim,
+                            cfg.right_trim,
+                            stats=stats,
+                            min_qual=cfg.min_qual,
+                        )
+                        if stats is not None:
+                            meth_profile(
+                                al, x, orig_pos, max_pos, ref_window,
+                                stats,
+                            )
+                with tracer.stage("pileup"):
+                    counts2, qual_sum, mapq2_sum = build_pileup(
+                        block.align_list, x, y, cfg.min_qual
+                    )
+                if not _put(
+                    (ctg, block.region, counts2, qual_sum, mapq2_sum,
+                     ref_window, x, y)
+                ):
+                    return
+            _put(None)
+        except Exception as e:
+            _put(e)
+
+    emit_q: "queue.Queue" = queue.Queue(maxsize=4)
+    emit_err: list = []
+
+    def emit_worker():
+        while True:
+            item = emit_q.get()
+            if item is None:
+                return
+            if emit_err:
+                continue
+            try:
+                with tracer.stage("emit"):
+                    _emit_block_soa(cfg, emitter, *item)
+            except Exception as e:
+                emit_err.append(e)
+
+    t = threading.Thread(target=produce, daemon=True)
+    et = threading.Thread(target=emit_worker, daemon=True)
+    t.start()
+    et.start()
+    try:
+        while True:
+            with tracer.stage("ingest"):
+                blk = q.get()
+            if isinstance(blk, Exception):
+                raise blk
+            if blk is None:
+                break
+            (ctg, region, counts2, qual_sum, mapq2_sum, ref_window,
+             x, y) = blk
+            sz = y - x + 1
+            tracer.count("blocks")
+            tracer.count("positions", sz)
+            with tracer.stage("call"):
+                soa = engine.call_block_soa(
+                    counts2, qual_sum, mapq2_sum, ref_window[:sz]
+                )
+            if emit_err:
+                raise emit_err[0]
+            emit_q.put((ctg, soa, ref_window, x, y, 0, region))
+        emit_q.put(None)
+        et.join()
+        if emit_err:
+            raise emit_err[0]
+    finally:
+        if et.is_alive():
+            emit_q.put(None)
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(0.05)
+        et.join(timeout=10)
