@@ -237,6 +237,43 @@ class BamReader:
         self._f.close()
 
 
+_CODE2NIB = np.array([15, 1, 2, 4, 8], dtype=np.uint8)  # N,A,C,G,T
+_CORE = struct.Struct("<iiBBHHHiiii")
+
+
+def encode_bam_record(rec: "BamRec") -> bytes:
+    """Serialize a BamRec to the raw BAM record layout
+    ([u32 size][body]) — feeds the native pipeline's push mode for
+    CRAM/SAM inputs. seq comes from rec.seq_code (0..4)."""
+    nb = rec.name.encode() + b"\x00"
+    code = rec.seq_code
+    if code is None or len(code) == 0:
+        l_seq = 0
+        seq_bytes = b""
+        qual_bytes = b""
+    else:
+        l_seq = len(code)
+        nibs = _CODE2NIB[code]
+        if l_seq & 1:
+            nibs = np.append(nibs, np.uint8(0))
+        seq_bytes = ((nibs[0::2] << 4) | nibs[1::2]).tobytes()
+        if rec.qual is None:
+            qual_bytes = b"\xff" * l_seq
+        else:
+            qual_bytes = rec.qual.astype(np.uint8).tobytes()
+    cig = b"".join(
+        struct.pack("<I", (ln << 4) | op) for ln, op in rec.cigar
+    )
+    body = (
+        _CORE.pack(
+            rec.tid, rec.pos, len(nb), rec.mapq, 0, len(rec.cigar),
+            rec.flag, l_seq, rec.mtid, rec.mpos, rec.isize,
+        )
+        + nb + cig + seq_bytes + qual_bytes + rec.aux
+    )
+    return struct.pack("<i", len(body)) + body
+
+
 class BamWriter:
     """BAM writer (fixtures/utilities)."""
 

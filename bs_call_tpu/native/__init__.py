@@ -87,6 +87,11 @@ def load():
         lib.bsp_header_text.argtypes = [ctypes.c_void_p]
         lib.bsp_header_text.restype = ctypes.c_char_p
         lib.bsp_next_block.restype = ctypes.c_int
+        lib.bsp_open_push.restype = ctypes.c_void_p
+        lib.bsp_push.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
+        ]
+        lib.bsp_push_eof.argtypes = [ctypes.c_void_p]
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64

@@ -187,12 +187,8 @@ struct RawRec {
     const uint8_t *aux_end;
 };
 
-// Parse the next record; advances r.pos past it. Returns false on EOF.
-inline bool next_record(Reader &r, RawRec &rec) {
-    if (!r.ensure(4)) return false;
-    uint32_t block_size = r.u32();
-    if (!r.ensure(block_size)) { r.pos -= 4; return false; }
-    const uint8_t *p = r.buf.data() + r.pos;
+// Parse one raw BAM record body (p points past the block_size field).
+inline void parse_raw(const uint8_t *p, uint32_t block_size, RawRec &rec) {
     memcpy(&rec.tid, p, 4);
     memcpy(&rec.pos, p + 4, 4);
     uint8_t l_read_name = p[8];
@@ -210,6 +206,14 @@ inline bool next_record(Reader &r, RawRec &rec) {
     rec.qual = rec.seq + (rec.l_seq + 1) / 2;
     rec.aux = rec.qual + rec.l_seq;
     rec.aux_end = p + block_size;
+}
+
+// Parse the next record; advances r.pos past it. Returns false on EOF.
+inline bool next_record(Reader &r, RawRec &rec) {
+    if (!r.ensure(4)) return false;
+    uint32_t block_size = r.u32();
+    if (!r.ensure(block_size)) { r.pos -= 4; return false; }
+    parse_raw(r.buf.data() + r.pos, block_size, rec);
     r.pos += block_size;
     return true;
 }

@@ -480,6 +480,33 @@ struct Pipeline {
     uint32_t blk_x = 0, blk_y = 0;
     int64_t blk_max_pos = 0;
 
+    // push mode: records arrive pre-decoded (raw BAM record layout) from
+    // the host instead of through Reader — serves CRAM/SAM inputs
+    bool push_mode = false;
+    std::vector<uint8_t> pbuf;
+    size_t ppos = 0;
+    bool push_done = false;
+
+    void push_bytes(const uint8_t *data, size_t len) {
+        if (ppos) {  // compact consumed prefix
+            pbuf.erase(pbuf.begin(), pbuf.begin() + ppos);
+            ppos = 0;
+        }
+        pbuf.insert(pbuf.end(), data, data + len);
+    }
+
+    // 1 = record, 0 = starved (push more / push_eof), -1 = end of input
+    int next_push_record(RawRec &rec) {
+        size_t avail = pbuf.size() - ppos;
+        if (avail < 4) return push_done ? -1 : 0;
+        uint32_t block_size;
+        memcpy(&block_size, pbuf.data() + ppos, 4);
+        if (avail < 4 + (size_t)block_size) return push_done ? -1 : 0;
+        parse_raw(pbuf.data() + ppos + 4, block_size, rec);
+        ppos += 4 + block_size;
+        return 1;
+    }
+
     ~Pipeline() {
         release_block();
         for (Align *a : align_list) delete a;
@@ -537,15 +564,26 @@ struct Pipeline {
         return true;
     }
 
-    bool next_block() {
+    // 1 = block staged, 0 = end of input, 2 = starved (push mode only:
+    // push more records or push_eof, then call again — builder state is
+    // fully resident in members, so re-entry resumes mid-block)
+    int next_block() {
         release_block();
-        if (eof) return false;
+        if (eof) return 0;
         Stats *st = collect_stats ? &stats : nullptr;
         for (;;) {
             RawRec rec;
-            if (!next_record(*r, rec)) {
+            bool have_rec;
+            if (push_mode) {
+                int got = next_push_record(rec);
+                if (got == 0) return 2;
+                have_rec = got > 0;
+            } else {
+                have_rec = next_record(*r, rec);
+            }
+            if (!have_rec) {
                 eof = true;
-                return flush_to_block(curr_tid) ? stage() : false;
+                return flush_to_block(curr_tid) ? (stage() ? 1 : 0) : 0;
             }
             Align *al = pending ? pending : new_align();
             pending = nullptr;
@@ -606,7 +644,7 @@ struct Pipeline {
             }
             if (chr_skip) {
                 pending = al;
-                if (have_block) return stage();
+                if (have_block) return stage() ? 1 : 0;
                 continue;
             }
             if (align_list.empty()) {
@@ -788,7 +826,7 @@ struct Pipeline {
                     pending = al;
                 }
             }
-            if (have_block) return stage();
+            if (have_block) return stage() ? 1 : 0;
         }
     }
 
@@ -1015,9 +1053,12 @@ const char *bsp_header_text(void *h) {
 }
 
 // meta[5]: tid, x, y, max_pos, n_templates. Returns 1 or 0 (EOF).
+// Returns 1 (block staged, meta filled), 0 (end of input), or 2
+// (push mode starved: bsp_push more records or bsp_push_eof, call again)
 int bsp_next_block(void *h, int64_t *meta) {
     Pipeline *p = (Pipeline *)h;
-    if (!p->next_block()) return 0;
+    int rc = p->next_block();
+    if (rc != 1) return rc;
     meta[0] = p->blk_tid;
     meta[1] = p->blk_x;
     meta[2] = p->blk_y;
@@ -1025,6 +1066,37 @@ int bsp_next_block(void *h, int64_t *meta) {
     meta[4] = (int64_t)p->blk_list.size();
     return 1;
 }
+
+// Push-mode pipeline: records arrive as raw BAM record blobs
+// ([u32 size][body]...) via bsp_push; serves CRAM/SAM decoded host-side.
+void *bsp_open_push(int mapq_thresh, long long max_template_len,
+                    int min_qual, int keep_unmatched, int ignore_dup,
+                    int keep_dup, int quirks, int lt0, int lt1, int rt0,
+                    int rt1, int collect_stats, const int8_t *tid_keep,
+                    int n_tids) {
+    Pipeline *p = new Pipeline();
+    p->push_mode = true;
+    p->cfg.mapq_thresh = mapq_thresh;
+    p->cfg.max_template_len = max_template_len;
+    p->cfg.min_qual = min_qual;
+    p->cfg.keep_unmatched = keep_unmatched;
+    p->cfg.ignore_dup = ignore_dup;
+    p->cfg.keep_dup = keep_dup;
+    p->cfg.quirks = quirks;
+    p->cfg.left_trim[0] = lt0;
+    p->cfg.left_trim[1] = lt1;
+    p->cfg.right_trim[0] = rt0;
+    p->cfg.right_trim[1] = rt1;
+    p->collect_stats = collect_stats;
+    p->tid_keep.assign(tid_keep, tid_keep + n_tids);
+    return p;
+}
+
+void bsp_push(void *h, const uint8_t *data, int64_t len) {
+    ((Pipeline *)h)->push_bytes(data, (size_t)len);
+}
+
+void bsp_push_eof(void *h) { ((Pipeline *)h)->push_done = true; }
 
 void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
                       float *mapq2) {

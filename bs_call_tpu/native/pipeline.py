@@ -23,6 +23,7 @@ class NativePipeline:
         if lib is None:
             raise RuntimeError("native pipeline unavailable")
         self._lib = lib
+        self._args = (path, cfg, tid_keep, threads)
         keep = np.ascontiguousarray(tid_keep, dtype=np.int8)
         self._h = lib.bsp_open(
             path.encode(),
@@ -62,8 +63,11 @@ class NativePipeline:
             ctypes.c_void_p(self._h),
             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
-        if not ok:
+        if ok != 1:
             return None
+        return self._collect_block()
+
+    def _collect_block(self) -> dict:
         tid, x, y, max_pos, n_templates = (int(v) for v in self._meta)
         sz = y - x + 1
         counts2 = np.zeros((sz, 2, 8), np.int32)
@@ -141,3 +145,98 @@ class NativePipeline:
         if self._h:
             self._lib.bsp_close(ctypes.c_void_p(self._h))
             self._h = None
+
+    def reopen(self, collect_stats: bool) -> "NativePipeline":
+        """Fresh pipeline over the same input (used to turn on stats)."""
+        path, cfg, tid_keep, threads = self._args
+        self.close()
+        return NativePipeline(
+            path, cfg, tid_keep, collect_stats=collect_stats,
+            threads=threads,
+        )
+
+
+class NativePushPipeline(NativePipeline):
+    """Push-mode variant: records are decoded host-side (CRAM/SAM/stdin),
+    serialized to the raw BAM record layout, and fed to the C++ block
+    builder in batches. Same block/stats/meth-profile surface as
+    NativePipeline."""
+
+    BATCH = 512  # records per push
+
+    def __init__(self, record_iter_factory, header: BamHeader,
+                 cfg: CallerConfig, tid_keep: np.ndarray,
+                 collect_stats: bool = False, threads: int = 4):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native pipeline unavailable")
+        self._lib = lib
+        self._push_args = (
+            record_iter_factory, header, cfg, tid_keep, threads
+        )
+        self._records = iter(record_iter_factory())
+        self._eof_sent = False
+        keep = np.ascontiguousarray(tid_keep, dtype=np.int8)
+        self._keep = keep
+        self._h = lib.bsp_open_push(
+            cfg.mapq_thresh,
+            ctypes.c_longlong(cfg.max_template_len),
+            cfg.min_qual,
+            int(cfg.keep_unmatched),
+            int(cfg.ignore_duplicates),
+            int(cfg.keep_duplicates),
+            int(cfg.reference_quirks),
+            cfg.left_trim[0],
+            cfg.left_trim[1],
+            cfg.right_trim[0],
+            cfg.right_trim[1],
+            int(collect_stats),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            len(keep),
+        )
+        if not self._h:
+            raise RuntimeError("bsp_open_push failed")
+        self.header = header
+        self._meta = np.zeros(5, np.int64)
+
+    def _feed(self) -> bool:
+        """Serialize and push up to BATCH records; False at source EOF."""
+        from bs_call_tpu.io.bam import encode_bam_record
+
+        chunks = []
+        for rec in self._records:
+            chunks.append(encode_bam_record(rec))
+            if len(chunks) >= self.BATCH:
+                break
+        if not chunks:
+            return False
+        blob = b"".join(chunks)
+        self._lib.bsp_push(
+            ctypes.c_void_p(self._h), blob, ctypes.c_int64(len(blob))
+        )
+        return True
+
+    def next_block(self) -> Optional[dict]:
+        while True:
+            rc = self._lib.bsp_next_block(
+                ctypes.c_void_p(self._h),
+                self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if rc == 1:
+                return self._collect_block()
+            if rc == 0:
+                return None
+            # starved
+            if not self._feed():
+                if self._eof_sent:
+                    return None  # defensive: should not loop forever
+                self._lib.bsp_push_eof(ctypes.c_void_p(self._h))
+                self._eof_sent = True
+
+    def reopen(self, collect_stats: bool) -> "NativePushPipeline":
+        factory, header, cfg, tid_keep, threads = self._push_args
+        self.close()
+        return NativePushPipeline(
+            factory, header, cfg, tid_keep, collect_stats=collect_stats,
+            threads=threads,
+        )

@@ -111,7 +111,7 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
             )
     emitter.vector = vector_emitter
     engine = CallEngine(cfg)
-    native = _try_native(cfg, table)
+    native = _try_native(cfg, table, reader=reader)
     if native is not None:
         tracer.progress("using native C++ ingest pipeline")
         process_contig_blocks_native(
@@ -188,10 +188,12 @@ def _whole_contig_regions(table) -> bool:
     )
 
 
-def _try_native(cfg, table):
-    """The C++ pipeline handles whole-file BAM runs and whole-contig
-    shard runs (partial regions go through the Python path, which
-    pre-filters the record stream)."""
+def _try_native(cfg, table, reader=None):
+    """The C++ pipeline handles whole-file runs and whole-contig shard
+    runs (partial regions go through the Python path, which pre-filters
+    the record stream). BAM streams through the C++ decoder directly;
+    CRAM and SAM decode host-side and feed the same block builder
+    through push mode."""
     if cfg.device == "numpy" or not cfg.input_file or cfg.input_file == "-":
         return None
     if table.regions and not _whole_contig_regions(table):
@@ -200,25 +202,42 @@ def _try_native(cfg, table):
         from bs_call_tpu.io.bgzf import is_gzip
 
         with open(cfg.input_file, "rb") as f:
-            pass
-        if not is_gzip(cfg.input_file):
-            return None
-        from bs_call_tpu.native.pipeline import NativePipeline
+            magic = f.read(4)
+        from bs_call_tpu.native.pipeline import (
+            NativePipeline,
+            NativePushPipeline,
+        )
     except (OSError, RuntimeError, ImportError):
         return None
-    import gzip
-
-    with gzip.open(cfg.input_file, "rb") as f:
-        if f.read(4) != b"BAM\x01":
-            return None
     tid_keep = _tid_keep(table)
+    is_bam = False
+    if is_gzip(cfg.input_file):
+        import gzip
+
+        with gzip.open(cfg.input_file, "rb") as f:
+            is_bam = f.read(4) == b"BAM\x01"
     try:
-        return NativePipeline(
-            cfg.input_file, cfg, tid_keep, collect_stats=False,
-            threads=cfg.threads,
-        )
-    except (RuntimeError, ValueError):
+        if is_bam:
+            return NativePipeline(
+                cfg.input_file, cfg, tid_keep, collect_stats=False,
+                threads=cfg.threads,
+            )
+        if magic == b"CRAM" or reader is not None:
+            # push mode: host decode (CRAM/SAM/gz-SAM) -> C++ builder
+            def factory():
+                return open_alignment_file(
+                    cfg.input_file, native=False, threads=cfg.threads,
+                    reference=cfg.reference_file,
+                )
+
+            header = (reader or factory()).header
+            return NativePushPipeline(
+                factory, header, cfg, tid_keep, collect_stats=False,
+                threads=cfg.threads,
+            )
+    except (RuntimeError, ValueError, OSError):
         return None
+    return None
 
 
 def _tid_keep(table):
@@ -240,13 +259,7 @@ def process_contig_blocks_native(
     Python does reference windows, genotype batches and emission."""
     # re-open with stats collection if needed
     if stats is not None:
-        npipe.close()
-        from bs_call_tpu.native.pipeline import NativePipeline
-
-        npipe = NativePipeline(
-            cfg.input_file, cfg, _tid_keep(table), collect_stats=True,
-            threads=cfg.threads,
-        )
+        npipe = npipe.reopen(collect_stats=True)
     import queue
     import threading
 
