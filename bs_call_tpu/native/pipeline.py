@@ -45,6 +45,7 @@ class NativePipeline:
         )
         if not self._h:
             raise ValueError(f"{path}: cannot open")
+        self.stats_on = bool(collect_stats)
         self.header = BamHeader(
             text=lib.bsp_header_text(ctypes.c_void_p(self._h)).decode(),
             ref_names=[
@@ -196,6 +197,7 @@ class NativePushPipeline(NativePipeline):
         )
         if not self._h:
             raise RuntimeError("bsp_open_push failed")
+        self.stats_on = bool(collect_stats)
         self.header = header
         self._meta = np.zeros(5, np.int64)
 
@@ -240,3 +242,35 @@ class NativePushPipeline(NativePipeline):
             factory, header, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads,
         )
+
+
+class NativeBamStreamPipeline(NativePushPipeline):
+    """Push-mode over an already-decompressed BAM byte stream positioned
+    at the first record (stdin pipes): bytes are forwarded verbatim to
+    the C++ record parser — no Python-side record decode at all. Not
+    reopenable (the stream is consumed), so callers must set
+    collect_stats up front."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, stream, header: BamHeader, cfg: CallerConfig,
+                 tid_keep: np.ndarray, collect_stats: bool = False,
+                 threads: int = 4):
+        NativePushPipeline.__init__(
+            self, lambda: iter(()), header, cfg, tid_keep,
+            collect_stats=collect_stats, threads=threads,
+        )
+        self._stream = stream
+
+    def _feed(self) -> bool:
+        data = self._stream.read(self.CHUNK)
+        if not data:
+            return False
+        self._lib.bsp_push(
+            ctypes.c_void_p(self._h), bytes(data),
+            ctypes.c_int64(len(data)),
+        )
+        return True
+
+    def reopen(self, collect_stats: bool):
+        raise RuntimeError("BAM stream pipelines cannot be reopened")

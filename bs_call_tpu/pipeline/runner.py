@@ -111,7 +111,9 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
             )
     emitter.vector = vector_emitter
     engine = CallEngine(cfg)
-    native = _try_native(cfg, table, reader=reader)
+    native = _try_native(
+        cfg, table, reader=reader, collect_stats=stats is not None
+    )
     if native is not None:
         tracer.progress("using native C++ ingest pipeline")
         process_contig_blocks_native(
@@ -188,28 +190,47 @@ def _whole_contig_regions(table) -> bool:
     )
 
 
-def _try_native(cfg, table, reader=None):
+def _try_native(cfg, table, reader=None, collect_stats=False):
     """The C++ pipeline handles whole-file runs and whole-contig shard
     runs (partial regions go through the Python path, which pre-filters
-    the record stream). BAM streams through the C++ decoder directly;
-    CRAM and SAM decode host-side and feed the same block builder
-    through push mode."""
-    if cfg.device == "numpy" or not cfg.input_file or cfg.input_file == "-":
+    the record stream). BAM files stream through the C++ decoder
+    directly; CRAM and SAM decode host-side and feed the same block
+    builder through push mode; stdin BAM pipes forward their
+    decompressed bytes verbatim."""
+    if cfg.device == "numpy" or not cfg.input_file:
         return None
     if table.regions and not _whole_contig_regions(table):
         return None
     try:
-        from bs_call_tpu.io.bgzf import is_gzip
-
-        with open(cfg.input_file, "rb") as f:
-            magic = f.read(4)
         from bs_call_tpu.native.pipeline import (
+            NativeBamStreamPipeline,
             NativePipeline,
             NativePushPipeline,
         )
     except (OSError, RuntimeError, ImportError):
         return None
     tid_keep = _tid_keep(table)
+    if cfg.input_file == "-":
+        # stdin: BAM only (the reader's stream sits at the first record
+        # after its header parse); SAM text stays on the Python path
+        from bs_call_tpu.io.bam import BamReader
+
+        if not isinstance(reader, BamReader):
+            return None
+        try:
+            return NativeBamStreamPipeline(
+                reader._f, reader.header, cfg, tid_keep,
+                collect_stats=collect_stats, threads=cfg.threads,
+            )
+        except (RuntimeError, ValueError, OSError):
+            return None
+    try:
+        from bs_call_tpu.io.bgzf import is_gzip
+
+        with open(cfg.input_file, "rb") as f:
+            magic = f.read(4)
+    except OSError:
+        return None
     is_bam = False
     if is_gzip(cfg.input_file):
         import gzip
@@ -219,8 +240,8 @@ def _try_native(cfg, table, reader=None):
     try:
         if is_bam:
             return NativePipeline(
-                cfg.input_file, cfg, tid_keep, collect_stats=False,
-                threads=cfg.threads,
+                cfg.input_file, cfg, tid_keep,
+                collect_stats=collect_stats, threads=cfg.threads,
             )
         if magic == b"CRAM" or reader is not None:
             # push mode: host decode (CRAM/SAM/gz-SAM) -> C++ builder
@@ -232,8 +253,8 @@ def _try_native(cfg, table, reader=None):
 
             header = (reader or factory()).header
             return NativePushPipeline(
-                factory, header, cfg, tid_keep, collect_stats=False,
-                threads=cfg.threads,
+                factory, header, cfg, tid_keep,
+                collect_stats=collect_stats, threads=cfg.threads,
             )
     except (RuntimeError, ValueError, OSError):
         return None
@@ -257,8 +278,9 @@ def process_contig_blocks_native(
 ):
     """Native-pipeline driver: C++ produces (x, y, pileup tensors) blocks;
     Python does reference windows, genotype batches and emission."""
-    # re-open with stats collection if needed
-    if stats is not None:
+    # re-open with stats collection if needed (no-op when the pipeline
+    # was already created with stats on, e.g. non-reopenable stdin pipes)
+    if stats is not None and not npipe.stats_on:
         npipe = npipe.reopen(collect_stats=True)
     import queue
     import threading

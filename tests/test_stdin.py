@@ -55,3 +55,43 @@ def test_sam_and_gz_sam_from_stdin(tmp_path, monkeypatch):
         rd = open_alignment_file("-")
         names = [r.name for r in rd]
         assert names == ["r1", "r2"]
+
+
+def test_stdin_bam_native_run_matches_file(tmp_path, monkeypatch):
+    """stdin BAM goes through the stream-push native pipeline (forwarded
+    decompressed bytes) and must match the file run, including stats
+    (stdin pipes cannot be reopened, so stats are on from the start)."""
+    import io as iomod
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.pipeline.runner import run_caller
+    from bs_call_tpu.stats.collect import BsStats
+    from bs_call_tpu.stats.report import write_report
+
+    path, raw = _bam_bytes(tmp_path, n=2000)
+    rng = np.random.default_rng(0)
+    ctg_len = 100000
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    outs, reps = [], []
+    for src in (path, "-"):
+        if src == "-":
+            monkeypatch.setattr(sys, "stdin", _FakeStdin(raw))
+        cfg = CallerConfig(
+            input_file=src, reference_file=str(ref),
+            benchmark_mode=True, report_file="x",
+        )
+        o = iomod.BytesIO()
+        st = BsStats()
+        st, table = run_caller(cfg, out_fileobj=o, stats=st)
+        outs.append(o.getvalue())
+        r = iomod.StringIO()
+        write_report(r, cfg, st, table)
+        reps.append(r.getvalue())
+    assert outs[0] == outs[1]
+    assert reps[0] == reps[1]
