@@ -96,3 +96,71 @@ def test_bcf_matches_vcf_text(tmp_path):
         assert int(fmt["DP"]) == b["fmt"]["DP"][0]
         assert int(fmt["GQ"]) == b["fmt"]["GQ"][0]
         assert fmt["CG"] == b["fmt"]["CG"]
+
+
+def test_bcf_with_dbsnp_and_duplicates(tmp_path):
+    """BASELINE config 3 shape: dbSNP annotation + duplicate filtering
+    with BCF output — rs IDs and records must match the text-VCF path."""
+    rng = np.random.default_rng(6)
+    ctg_len = 8000
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    bam = tmp_path / "in.bam"
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"],
+        ref_lens=[ctg_len],
+    )
+    w = BamWriter(str(bam), hdr)
+    bases = "ACGT"
+    k = 0
+    for pos in np.sort(rng.integers(0, ctg_len - 120, 800)):
+        pos = int(pos)
+        rseq = list(seq[pos : pos + 100])
+        for i in np.nonzero(rng.random(100) < 0.04)[0]:
+            rseq[i] = bases[int(rng.integers(0, 4))]
+        q = rng.integers(15, 44, 100).astype(np.uint8)
+        reps = 2 if rng.random() < 0.15 else 1  # duplicate starts
+        for _ in range(reps):
+            w.write(
+                f"r{k}", 0, 0, pos, 50, [(100, 0)], -1, -1, 0,
+                "".join(rseq), q,
+            )
+            k += 1
+    w.close()
+    from bs_call_tpu.io.dbsnp_idx import DbSnpIndexBuilder
+
+    b = DbSnpIndexBuilder(maf_limit=0.1)
+    for p in np.sort(rng.choice(ctg_len - 10, 400, replace=False)):
+        b.add_snp("chr1", int(p) + 1, f"rs{int(p)}",
+                  maf=0.3 if p % 3 == 0 else -1.0)
+    idx = tmp_path / "snp.bin"
+    b.write(str(idx))
+    outs = {}
+    for ft in (C.FT_BCF_GZ, C.FT_VCF):
+        cfg = CallerConfig(
+            input_file=str(bam), reference_file=str(ref),
+            benchmark_mode=True, out_file_type=ft,
+            dbsnp_file=str(idx),
+        )
+        out = io.BytesIO()
+        run_caller(cfg, out_fileobj=out)
+        outs[ft] = out.getvalue()
+    vcf_ids = {}
+    for line in outs[C.FT_VCF].decode().splitlines():
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        vcf_ids[int(f[1])] = f[2]
+    bcf_ids = {
+        r["pos"]: (r["id"] or ".")
+        for r in BcfReader(io.BytesIO(outs[C.FT_BCF_GZ]))
+    }
+    assert set(vcf_ids) == set(bcf_ids)
+    assert vcf_ids == bcf_ids
+    assert any(v.startswith("rs") for v in vcf_ids.values())
