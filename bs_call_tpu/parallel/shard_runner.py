@@ -40,7 +40,21 @@ def partition_contigs(
 
 def _worker(args):
     (cfg_dict, shard_names, sizes_path, out_path, want_stats) = args
+    # Workers compute on the host CPU backend (exact mode is f64-on-CPU;
+    # the fast f32 path over a tunneled accelerator is transfer-bound
+    # anyway). Pinning the platform BEFORE any backend touch also avoids
+    # N spawned processes fighting over one axon TPU tunnel, which
+    # deadlocks backend init. (The env var alone doesn't stick — a
+    # sitecustomize can pin the platform — so set it via jax.config.)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     cfg = CallerConfig(**cfg_dict)
+    if cfg.device == "tpu":
+        cfg.device = "auto"  # no accelerator inside shard workers
     with tempfile.NamedTemporaryFile(
         "w", suffix=".bed", delete=False
     ) as bed:
