@@ -23,6 +23,25 @@ from bs_call_tpu.ops.postprocess import aggregate_pileup, fisher_strand
 from bs_call_tpu.output.site import SiteCall
 
 
+def _enable_compilation_cache(jax) -> None:
+    """Persistent XLA compilation cache so repeated CLI invocations skip
+    the ~1-3s kernel compile (every bs_call run is a fresh process).
+    Respects an existing user setting; failures are non-fatal."""
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        import os
+
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "bs_call_tpu", "xla"
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:
+        pass
+
+
 class CallEngine:
     """Maps (counts2, qual_sum, mapq2_sum, ref) blocks to per-position
     SiteCall results."""
@@ -38,6 +57,7 @@ class CallEngine:
 
                 from bs_call_tpu.ops.genotype import ModelParams, call_genotypes
 
+                _enable_compilation_cache(jax)
                 self._jax = (jax, jnp, call_genotypes)
                 self._params = ModelParams(
                     under_conv=cfg.under_conv,
