@@ -24,15 +24,18 @@ from bs_call_tpu.output.site import SiteCall
 
 
 def _enable_compilation_cache(jax) -> None:
-    """Persistent XLA compilation cache so repeated CLI invocations skip
-    the ~1-3s kernel compile (every bs_call run is a fresh process).
-    Respects an existing user setting; failures are non-fatal."""
+    """Opt-in persistent XLA compilation cache (BS_CALL_XLA_CACHE=dir or
+    =1 for the default location): repeated CLI invocations skip the
+    ~1-3s kernel compile. Opt-in because XLA:CPU AOT artifacts bake in
+    host CPU features — a cache shared across heterogeneous machines can
+    SIGILL (observed feature-mismatch warnings on this fleet)."""
     try:
-        if jax.config.jax_compilation_cache_dir:
-            return
         import os
 
-        cache = os.path.join(
+        want = os.environ.get("BS_CALL_XLA_CACHE")
+        if not want or jax.config.jax_compilation_cache_dir:
+            return
+        cache = want if want not in ("1", "true") else os.path.join(
             os.path.expanduser("~"), ".cache", "bs_call_tpu", "xla"
         )
         os.makedirs(cache, exist_ok=True)
