@@ -138,17 +138,47 @@ def run(tmp):
     return out.getvalue().decode(), report
 
 
+def run_bcf(tmp):
+    """Same fixture/config as run() but BCF output; returns the
+    *decompressed* BCF byte stream (stable across zlib builds)."""
+    import gzip
+
+    from bs_call_tpu import constants as C
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    ref, bam, idx = build_fixture(tmp)
+    cfg = CallerConfig(
+        input_file=bam,
+        reference_file=ref,
+        dbsnp_file=idx,
+        benchmark_mode=True,
+        left_trim=(2, 1),
+        right_trim=(1, 0),
+        sample_name="golden",
+        out_file_type=C.FT_BCF_GZ,
+    )
+    out = io.BytesIO()
+    run_caller(cfg, out_fileobj=out)
+    return gzip.decompress(out.getvalue())
+
+
 def main():
     import tempfile
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         vcf, report = run(tmp)
+    with tempfile.TemporaryDirectory() as tmp:
+        bcf = run_bcf(tmp)
     with open(os.path.join(GOLDEN_DIR, "golden.vcf"), "w") as f:
         f.write(vcf)
     with open(os.path.join(GOLDEN_DIR, "golden_report.json"), "w") as f:
         f.write(report)
+    with open(os.path.join(GOLDEN_DIR, "golden.bcf.u"), "wb") as f:
+        f.write(bcf)
     print("golden vcf sha:", hashlib.sha256(vcf.encode()).hexdigest()[:16])
+    print("golden bcf sha:", hashlib.sha256(bcf).hexdigest()[:16])
     print("records:", sum(1 for l in vcf.splitlines() if not l.startswith("#")))
 
 

@@ -7,7 +7,7 @@ import tempfile
 
 import pytest
 
-from make_golden import GOLDEN_DIR, run
+from make_golden import GOLDEN_DIR, run, run_bcf
 
 
 @pytest.mark.skipif(
@@ -28,3 +28,17 @@ def test_golden_snapshot():
         assert a == b
     assert vcf == want_vcf
     assert report == want_report
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(GOLDEN_DIR, "golden.bcf.u")),
+    reason="golden BCF not generated",
+)
+def test_golden_bcf_snapshot():
+    """BCF binary encoding (record layout + typed values) pinned as the
+    decompressed stream, so zlib build differences cannot flake it."""
+    with tempfile.TemporaryDirectory() as tmp:
+        bcf = run_bcf(tmp)
+    with open(os.path.join(GOLDEN_DIR, "golden.bcf.u"), "rb") as f:
+        want = f.read()
+    assert bcf == want
