@@ -376,10 +376,14 @@ class VectorBlockEmitter:
         # phred (print_vcf.c:140-148) with libm boundary rescue
         z = gt_prob[np.arange(n), g]
         z1 = np.exp(z * LOG10)
-        with np.errstate(divide="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # pf is inf (and frac NaN) where z1 saturates to 1; those
+            # rows are overridden by the z1 >= 1 masks below
             pf = -10.0 * np.log(1.0 - np.minimum(z1, 1.0 - 1e-300)) / LOG10
-        phred = np.where(z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255))
-        frac = pf - np.floor(pf)
+            phred = np.where(
+                z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255)
+            )
+            frac = pf - np.floor(pf)
         bnd = np.nonzero(
             (z1 < 1.0)
             & ((frac < 1e-9) | (frac > 1.0 - 1e-9) | (z1 > 1.0 - 1e-12))
