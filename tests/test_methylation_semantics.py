@@ -129,3 +129,55 @@ def test_unmethylated_cpgs_still_call_cc(tmp_path):
     assert hits > 50
     # most sites show converted-T dominance (unmethylated signal)
     assert conv_dominant > hits * 0.8
+
+
+def test_mate_overlap_counts_bases_once(tmp_path):
+    """An overlapping proper pair covers a CpG with both mates; overlap
+    resolution (al_utils.c:164-318) must count the overlapped cytosine
+    once, not twice."""
+    ctg_len = 400
+    seq = list("A" * ctg_len)
+    P = 200  # CpG at 0-based 200,201
+    seq[P] = "C"
+    seq[P + 1] = "G"
+    seq = "".join(seq)
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    bam = tmp_path / "in.bam"
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"],
+        ref_lens=[ctg_len],
+    )
+    w = BamWriter(str(bam), hdr)
+    q = np.full(60, 40, np.uint8)
+    tag = bytes(aux_tag("XB", "A", "C"))
+    p1, p2 = 170, 190  # both mates span the CpG at 200
+    rlen = 60
+    isize = p2 + rlen - p1
+    w.write("p0", 0x63, 0, p1, 60, [(rlen, 0)], 0, p2, isize,
+            seq[p1 : p1 + rlen], q, tag)
+    w.write("p0", 0x93, 0, p2, 60, [(rlen, 0)], 0, p1, -isize,
+            seq[p2 : p2 + rlen], q, tag)
+    w.close()
+    cfg = CallerConfig(
+        input_file=str(bam), reference_file=str(ref),
+        benchmark_mode=True, all_positions=True,
+    )
+    out = io.BytesIO()
+    run_caller(cfg, out_fileobj=out)
+    row = None
+    for line in out.getvalue().decode().splitlines():
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        if int(f[1]) == P + 1:
+            row = f
+    assert row is not None
+    mc8 = [int(v) for v in _fmt(row)["MC8"].split(",")]
+    assert sum(mc8) == 1, mc8  # the overlapped base counted once
+    assert mc8[5] == 1, mc8  # informative C (methylated, unconverted)
