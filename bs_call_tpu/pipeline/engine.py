@@ -165,13 +165,43 @@ class CallEngine:
         return gt_prob, max_gt, margin, off
 
     def _call_dd(self, counts, quals, ref):
-        """Double-float32 batch on the accelerator; None on failure."""
+        """Double-float32 batch on the accelerator; None on failure.
+        Pads to fixed batch_positions-sized chunks so exactly one device
+        shape is ever compiled (covered-position counts vary per block;
+        unpadded calls recompiled per shape — catastrophic over a
+        tunneled TPU)."""
         try:
             from bs_call_tpu.ops.genotype_dd import call_genotypes_dd
         except ImportError:
             return None
         try:
-            return call_genotypes_dd(counts, quals, ref, self._params)
+            bp = self.cfg.batch_positions
+            n = len(ref)
+            gt_prob = np.empty((n, 10), dtype=np.float64)
+            max_gt = np.empty(n, dtype=np.int32)
+            margin = np.empty(n, dtype=np.float64)
+            off = np.empty(n, dtype=np.float64)
+            for s in range(0, n, bp):
+                e = min(s + bp, n)
+                ck, qk, rk = counts[s:e], quals[s:e], ref[s:e]
+                pad = bp - (e - s)
+                if pad:
+                    ck = np.concatenate(
+                        [ck, np.zeros((pad, 8), ck.dtype)]
+                    )
+                    qk = np.concatenate(
+                        [qk, np.zeros((pad, 8), qk.dtype)]
+                    )
+                    rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
+                gp, mg, mr, of = call_genotypes_dd(
+                    ck, qk, rk, self._params
+                )
+                m = e - s
+                gt_prob[s:e] = gp[:m]
+                max_gt[s:e] = mg[:m]
+                margin[s:e] = mr[:m]
+                off[s:e] = of[:m]
+            return gt_prob, max_gt, margin, off
         except Exception:
             return None
 
