@@ -53,6 +53,7 @@ class CallEngine:
         self.cfg = cfg
         self._params = None
         self._jax = None
+        self._fast_broken = False
         if cfg.device != "numpy":
             try:
                 import jax
@@ -114,9 +115,26 @@ class CallEngine:
                 )
         else:
             jax, jnp, _ = self._jax
-            gt_prob, max_gt, margin, off = self._chunked_call(
-                counts, quals, ref, jnp.float32
-            )
+            res = None
+            if not self._fast_broken:
+                try:
+                    res = self._chunked_call(
+                        counts, quals, ref, jnp.float32
+                    )
+                except Exception:
+                    # default backend unusable (e.g. accelerator plugin
+                    # fails to initialize): degrade to the host engines
+                    # rather than dying, once
+                    self._fast_broken = True
+            if res is None:
+                res = self._call_f64_cpu(counts, quals, ref)
+            if res is None:
+                res = call_genotypes_np(
+                    counts, quals, ref,
+                    self.cfg.under_conv, self.cfg.over_conv,
+                    self.cfg.ref_bias,
+                )
+            gt_prob, max_gt, margin, off = res
         # C-style max-entry replacement (absorbing 1+off) so the GQ phred
         # chain reproduces the reference's double-precision quantization
         idx = np.arange(n)
