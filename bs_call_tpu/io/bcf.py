@@ -88,9 +88,14 @@ def enc_string(s: str) -> bytes:
 
 
 class BcfWriter:
-    def __init__(self, fileobj, header_lines: List[str], threads: int = 0):
+    def __init__(self, fileobj, header_lines: List[str], threads: int = 0,
+                 compressed: bool = True):
+        """compressed=False mirrors htslib's -O u: the raw BCF stream
+        with no BGZF framing (vcf.c 'wbu' -> bgzf 'u' uncompressed)."""
         self._raw = fileobj
-        self._w = BgzfWriter(fileobj, threads=threads)
+        self._w = (
+            BgzfWriter(fileobj, threads=threads) if compressed else fileobj
+        )
         text = "\n".join(header_lines) + "\n\x00"
         tb = text.encode()
         self._w.write(b"BCF\x02\x02" + struct.pack("<I", len(tb)) + tb)
@@ -162,7 +167,10 @@ class BcfWriter:
         )
 
     def close(self):
-        self._w.close()
+        if isinstance(self._w, BgzfWriter):
+            self._w.close()
+        else:  # uncompressed: the stream belongs to the caller
+            self._w.flush()
 
 
 def _dec_typed(data: bytes, off: int):
@@ -194,9 +202,16 @@ class BcfReader:
         import gzip
 
         if isinstance(path_or_fileobj, str):
-            self._f = gzip.open(path_or_fileobj, "rb")
+            raw = open(path_or_fileobj, "rb")
         else:
-            self._f = gzip.GzipFile(fileobj=path_or_fileobj)
+            raw = path_or_fileobj
+        # compressed (-O b, BGZF) or raw uncompressed (-O u) stream
+        head = raw.read(2)
+        raw.seek(-2, 1)
+        if head == b"\x1f\x8b":
+            self._f = gzip.GzipFile(fileobj=raw)
+        else:
+            self._f = raw
         magic = self._f.read(5)
         if magic != b"BCF\x02\x02":
             raise ValueError("not a BCF2.2 file")

@@ -66,7 +66,10 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     if cfg.out_file_type in (C.FT_BCF, C.FT_BCF_GZ):
         from bs_call_tpu.io.bcf import BcfWriter
 
-        writer = BcfWriter(out_fileobj, hdr_lines, threads=cfg.threads)
+        writer = BcfWriter(
+            out_fileobj, hdr_lines, threads=cfg.threads,
+            compressed=cfg.out_file_type == C.FT_BCF_GZ,
+        )
     elif cfg.out_file_type == C.FT_VCF_GZ:
         from bs_call_tpu.io.bgzf import BgzfWriter
 

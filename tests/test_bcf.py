@@ -164,3 +164,15 @@ def test_bcf_with_dbsnp_and_duplicates(tmp_path):
     assert set(vcf_ids) == set(bcf_ids)
     assert vcf_ids == bcf_ids
     assert any(v.startswith("rs") for v in vcf_ids.values())
+
+
+def test_uncompressed_bcf_output(tmp_path):
+    """-O u emits the raw BCF stream with no BGZF framing (htslib 'wbu'
+    semantics); record content equals the compressed -O b output."""
+    raw = run_with_type(tmp_path, C.FT_BCF)
+    comp = run_with_type(tmp_path, C.FT_BCF_GZ)
+    assert raw.startswith(b"BCF\x02\x02")
+    assert comp.startswith(b"\x1f\x8b")
+    assert gzip.decompress(comp) == raw
+    recs = list(BcfReader(io.BytesIO(raw)))
+    assert len(recs) > 10
