@@ -196,7 +196,19 @@ def main(argv=None):
         stats = BsStats()
     from bs_call_tpu.pipeline.runner import run_caller
 
-    stats, table = run_caller(cfg, stats=stats)
+    try:
+        stats, table = run_caller(cfg, stats=stats)
+    except BrokenPipeError:
+        # downstream consumer (e.g. `| head`) closed the pipe: exit
+        # quietly like a SIGPIPE'd C tool; detach stdout so interpreter
+        # shutdown doesn't print a second error
+        import os
+
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 0
     if cfg.report_file and stats is not None:
         from bs_call_tpu.stats.report import write_report
 
