@@ -297,6 +297,27 @@ class DbSnpIndexBuilder:
             )
 
 
+def _open_maybe_compressed(path: str):
+    """Text stream with magic-byte compression sniffing (the reference
+    forks gzip/bzip2/xz children, dbSNP_utils.c:163-242; here the Python
+    codec modules serve the same formats in-process)."""
+    with open(path, "rb") as probe:
+        magic = probe.read(6)
+    if magic[:2] == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(path, "rt")
+    if magic[:3] == b"BZh":
+        import bz2
+
+        return bz2.open(path, "rt")
+    if magic[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        return lzma.open(path, "rt")
+    return open(path, "r")
+
+
 def main(argv=None):
     import argparse
 
@@ -350,12 +371,7 @@ def main(argv=None):
         builder.read_stream(sys.stdin, args.type.lower())
     else:
         for path in files:
-            opener = open
-            if path.endswith(".gz"):
-                import gzip
-
-                opener = lambda p: gzip.open(p, "rt")  # noqa: E731
-            with opener(path) as f:
+            with _open_maybe_compressed(path) as f:
                 builder.read_stream(f, args.type.lower())
     builder.write(args.output)
     print(

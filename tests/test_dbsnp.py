@@ -173,3 +173,33 @@ def test_e2e_annotation(tmp_path):
     assert 17 in sites and sites[17][2] == "rs17sel"
     assert 13 not in sites  # plain A site still skipped
     assert stats.dbSNP_sites[0] == 2
+
+
+def test_idx_cli_compressed_inputs(tmp_path):
+    """dbsnp_idx sniffs gzip/bzip2/xz by magic bytes, matching the
+    reference's decompression-filter support (dbSNP_utils.c:163-242)."""
+    import bz2
+    import gzip
+    import lzma
+
+    from bs_call_tpu.io.dbsnp import DbSnpIndex
+    from bs_call_tpu.io.dbsnp_idx import main as idx_main
+
+    bed = (
+        "track name=t\n"
+        "chr1\t99\t100\trs100\t0\n"
+        "chr1\t199\t200\trs200\t0\n"
+    ).encode()
+    for name, comp in (
+        ("a.dat", gzip.compress),
+        ("b.dat", bz2.compress),
+        ("c.dat", lzma.compress),
+        ("d.dat", bytes),  # plain
+    ):
+        p = tmp_path / name
+        p.write_bytes(comp(bed))
+        out = str(tmp_path / (name + ".idx"))
+        assert idx_main([str(p), "-o", out]) == 0
+        ctg = DbSnpIndex(out).load_contig("chr1")
+        assert ctg.lookup(100) == (1, "rs100")
+        assert ctg.lookup(200) == (1, "rs200")
