@@ -116,11 +116,19 @@ def run_sharded(
     with open(sizes_path, "w") as f:
         for name, ln in universe:
             f.write(f"{name}\t{ln}\n")
+    from bs_call_tpu import constants as C
+
     cfg_dict = {
         k: getattr(cfg, k)
         for k in CallerConfig.__dataclass_fields__
     }
     cfg_dict["output_file"] = None
+    # shards are written in a uniform concatenatable encoding (text VCF,
+    # or raw BCF for binary outputs); the requested final encoding is
+    # applied by the concat step
+    final_type = cfg.out_file_type
+    bcf_out = final_type in (C.FT_BCF, C.FT_BCF_GZ)
+    cfg_dict["out_file_type"] = C.FT_BCF if bcf_out else C.FT_VCF
     jobs = []
     for i, shard in enumerate(shards):
         out_path = os.path.join(tmpdir, f"shard{i}.vcf")
@@ -152,6 +160,8 @@ def run_sharded(
         [os.path.join(tmpdir, f"shard{i}.vcf") for i in shard_order],
         output_file,
         contig_order=[n for n, _ in universe],
+        out_file_type=final_type,
+        threads=cfg.threads,
     )
     ordered = [
         (name, ctg_stats_all[name])
@@ -161,16 +171,35 @@ def run_sharded(
     return merged, ordered
 
 
-def concat_vcfs(paths: List[str], output: str, contig_order=None):
-    """Concatenate uniform-header VCFs (the `bcftools concat -n`
+def concat_vcfs(paths: List[str], output: str, contig_order=None,
+                out_file_type=None, threads: int = 0):
+    """Concatenate uniform-header shard outputs (the `bcftools concat -n`
     analogue): header from the first file, records from all, re-sorted by
-    (contig order, position) across files when contig_order is given."""
+    (contig order, position) across files when contig_order is given.
+    Shards are text VCF (for v/z finals) or raw BCF (for u/b finals);
+    the final stream is encoded per out_file_type."""
+    from bs_call_tpu import constants as C
+
+    if out_file_type is None:
+        out_file_type = C.FT_VCF
+    if out_file_type in (C.FT_BCF, C.FT_BCF_GZ):
+        return _concat_bcf(
+            paths, output,
+            compressed=out_file_type == C.FT_BCF_GZ, threads=threads,
+        )
     header_done = False
     records: List[tuple] = []
     order = (
         {n: i for i, n in enumerate(contig_order)} if contig_order else None
     )
-    with open(output, "wb") as out:
+    raw = open(output, "wb")
+    if out_file_type == C.FT_VCF_GZ:
+        from bs_call_tpu.io.bgzf import BgzfWriter
+
+        out = BgzfWriter(raw, threads=threads)
+    else:
+        out = raw
+    try:
         for p in paths:
             with open(p, "rb") as f:
                 for line in f:
@@ -194,3 +223,50 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None):
             records.sort(key=lambda t: (t[0], t[1]))
             for _, _, line in records:
                 out.write(line)
+    finally:
+        if out is not raw:
+            out.close()
+        raw.close()
+
+
+def _concat_bcf(paths: List[str], output: str, compressed: bool,
+                threads: int = 0):
+    """Binary concat of raw-BCF shards: uniform headers (forced by the
+    contig-sizes file) make the contig dictionaries identical, so rid is
+    already the global contig order — records sort by (rid, pos)."""
+    import struct
+
+    hdr = None
+    recs = []
+    for p in paths:
+        data = open(p, "rb").read()
+        if data[:5] != b"BCF\x02\x02":
+            raise ValueError(f"{p}: not a raw BCF shard")
+        (l_text,) = struct.unpack_from("<I", data, 5)
+        if hdr is None:
+            hdr = data[: 9 + l_text]
+        body = data[9 + l_text :]
+        off = 0
+        n = len(body)
+        while off + 8 <= n:
+            ls, li = struct.unpack_from("<II", body, off)
+            tot = 8 + ls + li
+            rid, pos = struct.unpack_from("<ii", body, off + 8)
+            recs.append((rid, pos, body[off : off + tot]))
+            off += tot
+    recs.sort(key=lambda t: (t[0], t[1]))
+    raw = open(output, "wb")
+    if compressed:
+        from bs_call_tpu.io.bgzf import BgzfWriter
+
+        out = BgzfWriter(raw, threads=threads)
+    else:
+        out = raw
+    try:
+        out.write(hdr or b"")
+        for _, _, rec in recs:
+            out.write(rec)
+    finally:
+        if out is not raw:
+            out.close()
+        raw.close()

@@ -112,3 +112,34 @@ def test_sharded_matches_single(tmp_path):
     np.testing.assert_array_equal(
         merged_stats.meth_profile[:used], single_stats.meth_profile[:used]
     )
+
+
+def test_sharded_compressed_outputs_match_single(tmp_path):
+    """--shards with -O z/b/u: shard files are written in a uniform
+    concatenatable encoding and the final stream is encoded at concat
+    time; payload must equal the single-process run."""
+    import gzip
+
+    from bs_call_tpu import constants as C
+
+    ref, bam = make_fixture(tmp_path)
+    for ft in (C.FT_VCF_GZ, C.FT_BCF_GZ, C.FT_BCF):
+        single = tmp_path / f"single_{ft}"
+        shard = tmp_path / f"shard_{ft}"
+        cfg = CallerConfig(
+            input_file=bam, reference_file=ref, benchmark_mode=True,
+            out_file_type=ft,
+        )
+        with open(single, "wb") as f:
+            run_caller(cfg, out_fileobj=f)
+        cfg = CallerConfig(
+            input_file=bam, reference_file=ref, benchmark_mode=True,
+            out_file_type=ft,
+        )
+        run_sharded(cfg, 2, str(shard), collect_stats=False)
+        a = single.read_bytes()
+        b = shard.read_bytes()
+        if ft == C.FT_BCF:
+            assert a == b
+        else:
+            assert gzip.decompress(a) == gzip.decompress(b)
