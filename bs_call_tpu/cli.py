@@ -167,6 +167,23 @@ def main(argv=None):
         if not cfg.output_file:
             print("--shards requires -o", file=sys.stderr)
             return 1
+        if cfg.contig_bed:
+            # the shard runner partitions the whole contig universe
+            # itself; a user -C selection would be silently discarded
+            print(
+                "--shards partitions all contigs and cannot be combined "
+                "with -C; run the region selection as a single process "
+                "or shard externally per region",
+                file=sys.stderr,
+            )
+            return 1
+        if cfg.input_file == "-":
+            print(
+                "--shards requires a seekable input file (workers each "
+                "read the input); cannot shard a stdin stream",
+                file=sys.stderr,
+            )
+            return 1
         from bs_call_tpu.parallel.shard_runner import run_sharded
 
         stats, ctg_stats = run_sharded(
