@@ -264,3 +264,30 @@ def test_insertion_consumes_read_not_ref(tmp_path):
     for pos in range(5, 13):
         assert int(sites[pos]["DP"]) == 1, pos
     assert 13 not in sites or int(sites[13].get("DP", 0)) == 0
+
+
+def test_duplicate_tiebreak_mapq_before_qual(tmp_path):
+    """Duplicate selection compares mean MAPQ first and base quality only
+    on ties (get_template_vector.c:292-311): the higher-MAPQ pair wins
+    even with lower base quality."""
+    def build(w):
+        f1 = FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD1
+        f2 = FPAIRED | FPROPER_PAIR | FREVERSE | FREAD2
+        rlen, pos1, pos2 = 12, 4, 10
+        isize = pos2 + rlen - pos1
+        for name, mapq, q in (("a", 30, 42), ("b", 50, 20)):
+            w.write(
+                name, f1, 0, pos1, mapq, [(rlen, 0)], 0, pos2, isize,
+                SEQ[pos1 : pos1 + rlen], np.full(rlen, q, np.uint8),
+            )
+        for name, mapq, q in (("a", 30, 42), ("b", 50, 20)):
+            w.write(
+                name, f2, 0, pos2, mapq, [(rlen, 0)], 0, pos1, -isize,
+                SEQ[pos2 : pos2 + rlen], np.full(rlen, q, np.uint8),
+            )
+
+    sites = run_vcf(tmp_path, build)
+    # higher-MAPQ pair "b" survives despite lower base quality
+    assert int(sites[6]["DP"]) == 1
+    assert sites[6]["AMQ"] == "20"
+    assert sites[6]["MQ"] == "50"
