@@ -164,7 +164,7 @@ def python_blocks(ref, bam, cfg, with_stats=True):
 
 
 @pytest.mark.parametrize("trims", [((0, 0), (0, 0)), ((3, 2), (2, 1))])
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_native_pipeline_parity(tmp_path, seed, trims):
     ref, bam = random_bam(tmp_path, seed=seed)
     cfg = CallerConfig(left_trim=trims[0], right_trim=trims[1])
