@@ -117,12 +117,19 @@ def args_to_config(args) -> CallerConfig:
         verbose=args.verbose,
     )
     if args.threads:
-        # reference takes calc[,input,output] extra threads; the native
-        # ingest pool is the analogue of the input share
+        # reference: -t calc[,input,output] extra threads
+        # (parse_args.c:144-146). A lone number is auto-partitioned
+        # ~4:3:3 below once the output type is known.
         try:
-            cfg.threads = max(1, int(str(args.threads).split(",")[0]))
+            parts = [int(x) for x in str(args.threads).split(",")]
         except ValueError:
-            pass
+            parts = []
+        if len(parts) >= 3:
+            cfg.threads = max(1, parts[0])
+            cfg.input_threads = max(0, parts[1])
+            cfg.output_threads = max(0, parts[2])
+        elif len(parts) >= 1:
+            cfg.threads = max(1, parts[0])
     if args.conversion:
         parts = args.conversion.split(",")
         if len(parts) != 2:
@@ -149,7 +156,54 @@ def args_to_config(args) -> CallerConfig:
                 cfg.out_file_type = C.FT_VCF_GZ
             elif name.endswith(".bcf"):
                 cfg.out_file_type = C.FT_BCF_GZ
+    # refuse binary/compressed output onto a terminal (parse_args.c:187-190)
+    if (
+        cfg.output_file is None
+        and cfg.out_file_type != C.FT_VCF
+        and sys.stdout.isatty()
+    ):
+        print(
+            "Warning: suppressing binary output to terminal "
+            "(writing uncompressed VCF)",
+            file=sys.stderr,
+        )
+        cfg.out_file_type = C.FT_VCF
+    if cfg.input_threads is None:
+        # auto-partition a lone -t N roughly 4:3:3 calc/input/output;
+        # input/output shares exist only when those streams are
+        # compressed (parse_args.c:194-213)
+        in_comp = _input_is_compressed(cfg.input_file)
+        out_comp = bool(cfg.out_file_type & C.FT_GZ)
+        nn = 10 - (0 if in_comp else 3) - (0 if out_comp else 3)
+        k = cfg.threads
+        if in_comp:
+            cfg.input_threads = k * 3 // nn
+            k -= cfg.input_threads
+            nn -= 3
+        else:
+            cfg.input_threads = 0
+        if out_comp:
+            cfg.output_threads = k * 3 // nn
+            k -= cfg.output_threads
+        else:
+            cfg.output_threads = 0
+        cfg.threads = max(1, k)
+    if cfg.output_threads is None:
+        cfg.output_threads = cfg.threads
     return cfg.sanitize()
+
+
+def _input_is_compressed(path) -> bool:
+    """True when the alignment input is BGZF/CRAM (gets an inflate pool,
+    parse_args.c:196-197); plain SAM and stdin streams do not."""
+    if not path or path == "-":
+        return False
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+    except OSError:
+        return False
+    return head[:2] == b"\x1f\x8b" or head == b"CRAM"
 
 
 def main(argv=None):
@@ -204,7 +258,7 @@ def main(argv=None):
                 ]
             )
             with open(cfg.report_file, "w") as f:
-                write_report(f, cfg, stats, tbl)
+                write_report(f, cfg, stats, tbl, dbsnp=cfg.dbsnp_file)
         return 0
     stats = None
     if cfg.report_file:
@@ -230,7 +284,7 @@ def main(argv=None):
         from bs_call_tpu.stats.report import write_report
 
         with open(cfg.report_file, "w") as f:
-            write_report(f, cfg, stats, table)
+            write_report(f, cfg, stats, table, dbsnp=cfg.dbsnp_file)
     return 0
 
 

@@ -39,7 +39,12 @@ class CallerConfig:
 
     # engine knobs (new in the TPU framework)
     device: str = "auto"           # "auto" | "tpu" | "cpu" | "numpy"
-    threads: int = 4               # native ingest worker threads (-t)
+    threads: int = 4               # calc share of -t (see input/output below)
+    # -t calc,input,output explicit split (parse_args.c:144-146); when
+    # None the runner derives pools from `threads` (the 4:3:3 auto-split
+    # of parse_args.c:194-213 happens in cli.args_to_config)
+    input_threads: Optional[int] = None   # ingest inflate pool size
+    output_threads: Optional[int] = None  # BGZF deflate pool size
     verbose: bool = False
     exact: bool = True             # run the float64 libm rescue pass
     reference_quirks: bool = True  # reproduce benign reference bugs for parity

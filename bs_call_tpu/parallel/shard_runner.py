@@ -79,8 +79,14 @@ def _worker(args):
         from bs_call_tpu.pipeline.runner import run_caller
 
         stats, table = run_caller(cfg, stats=stats)
+        # only this shard's contigs: the uniform header means the table
+        # holds ALL contigs with zeroed ctg_stats for unassigned ones,
+        # which would clobber other workers' real counters on merge
+        mine = set(shard_names)
         ctg_stats = {
-            c.name: c.ctg_stats for c in table.contigs if c.ctg_stats
+            c.name: c.ctg_stats
+            for c in table.contigs
+            if c.ctg_stats and c.name in mine
         }
         return pickle.dumps((stats, ctg_stats))
     finally:
@@ -187,8 +193,8 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
             paths, output,
             compressed=out_file_type == C.FT_BCF_GZ, threads=threads,
         )
-    header_done = False
-    records: List[tuple] = []
+    import heapq
+
     order = (
         {n: i for i, n in enumerate(contig_order)} if contig_order else None
     )
@@ -199,29 +205,50 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
         out = BgzfWriter(raw, threads=threads)
     else:
         out = raw
-    try:
-        for p in paths:
-            with open(p, "rb") as f:
-                for line in f:
-                    if line.startswith(b"#"):
-                        if not header_done:
-                            out.write(line)
-                        continue
-                    if order is None:
+
+    def _records(path, write_header):
+        # each shard file is internally sorted by (global contig rank,
+        # pos): workers call contigs in reconciled-table (= reference
+        # faidx = global) order, so a lazy per-file stream is sorted and
+        # a k-way heap merge is all that's needed — no buffering
+        with open(path, "rb") as f:
+            for line in f:
+                if line.startswith(b"#"):
+                    if write_header:
                         out.write(line)
-                    else:
-                        fld = line.split(b"\t", 2)
-                        records.append(
-                            (
-                                order.get(fld[0].decode(), 1 << 30),
-                                int(fld[1]),
-                                line,
-                            )
-                        )
-                header_done = True
-        if order is not None:
-            records.sort(key=lambda t: (t[0], t[1]))
-            for _, _, line in records:
+                    continue
+                fld = line.split(b"\t", 2)
+                yield (
+                    order.get(fld[0].decode(), 1 << 30),
+                    int(fld[1]),
+                    line,
+                )
+
+    try:
+        if order is None:
+            header_done = False
+            for p in paths:
+                with open(p, "rb") as f:
+                    for line in f:
+                        if line.startswith(b"#"):
+                            if not header_done:
+                                out.write(line)
+                            continue
+                        out.write(line)
+                    header_done = True
+        else:
+            streams = [
+                _records(p, write_header=(i == 0))
+                for i, p in enumerate(paths)
+            ]
+            # consume the header of file 0 before any merged record
+            first = streams[0]
+            head = next(first, None)
+            if head is not None:
+                streams[0] = _chain_one(head, first)
+            for _, _, line in heapq.merge(
+                *streams, key=lambda t: (t[0], t[1])
+            ):
                 out.write(line)
     finally:
         if out is not raw:
@@ -229,32 +256,37 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
         raw.close()
 
 
+def _chain_one(first, rest):
+    yield first
+    yield from rest
+
+
 def _concat_bcf(paths: List[str], output: str, compressed: bool,
                 threads: int = 0):
     """Binary concat of raw-BCF shards: uniform headers (forced by the
     contig-sizes file) make the contig dictionaries identical, so rid is
     already the global contig order — records sort by (rid, pos)."""
+    import heapq
     import struct
 
-    hdr = None
-    recs = []
-    for p in paths:
-        data = open(p, "rb").read()
-        if data[:5] != b"BCF\x02\x02":
-            raise ValueError(f"{p}: not a raw BCF shard")
-        (l_text,) = struct.unpack_from("<I", data, 5)
-        if hdr is None:
-            hdr = data[: 9 + l_text]
-        body = data[9 + l_text :]
-        off = 0
-        n = len(body)
-        while off + 8 <= n:
-            ls, li = struct.unpack_from("<II", body, off)
-            tot = 8 + ls + li
-            rid, pos = struct.unpack_from("<ii", body, off + 8)
-            recs.append((rid, pos, body[off : off + tot]))
-            off += tot
-    recs.sort(key=lambda t: (t[0], t[1]))
+    def _records(path):
+        # stream one shard's records lazily; rid is already the global
+        # contig rank (uniform headers) and shards are internally sorted
+        with open(path, "rb") as f:
+            head = f.read(9)
+            if head[:5] != b"BCF\x02\x02":
+                raise ValueError(f"{path}: not a raw BCF shard")
+            (l_text,) = struct.unpack_from("<I", head, 5)
+            f.seek(l_text, 1)
+            while True:
+                sizes = f.read(8)
+                if len(sizes) < 8:
+                    return
+                ls, li = struct.unpack("<II", sizes)
+                body = f.read(ls + li)
+                rid, pos = struct.unpack_from("<ii", body, 0)
+                yield (rid, pos, sizes + body)
+
     raw = open(output, "wb")
     if compressed:
         from bs_call_tpu.io.bgzf import BgzfWriter
@@ -263,8 +295,15 @@ def _concat_bcf(paths: List[str], output: str, compressed: bool,
     else:
         out = raw
     try:
-        out.write(hdr or b"")
-        for _, _, rec in recs:
+        with open(paths[0], "rb") as f:
+            head = f.read(9)
+            if head[:5] != b"BCF\x02\x02":
+                raise ValueError(f"{paths[0]}: not a raw BCF shard")
+            (l_text,) = struct.unpack_from("<I", head, 5)
+            out.write(head + f.read(l_text))
+        for _, _, rec in heapq.merge(
+            *(_records(p) for p in paths), key=lambda t: (t[0], t[1])
+        ):
             out.write(rec)
     finally:
         if out is not raw:

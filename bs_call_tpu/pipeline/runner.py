@@ -31,8 +31,16 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     cfg.sanitize()
     if tracer is None:
         tracer = Tracer(enabled=cfg.verbose)
+    # -t calc,input,output shares (parse_args.c:194-213): the inflate
+    # pool takes the input share, the deflate pool the output share; a
+    # 0/None share falls back to the calc count (our pools still need a
+    # worker where the reference would decompress inline)
+    in_threads = cfg.input_threads or cfg.threads
+    out_threads = (
+        cfg.output_threads if cfg.output_threads else cfg.threads
+    )
     reader = open_alignment_file(
-        cfg.input_file, threads=cfg.threads, reference=cfg.reference_file
+        cfg.input_file, threads=in_threads, reference=cfg.reference_file
     )
     fasta = FastaIndex(cfg.reference_file)
     table = reconcile_contigs(
@@ -67,13 +75,13 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
         from bs_call_tpu.io.bcf import BcfWriter
 
         writer = BcfWriter(
-            out_fileobj, hdr_lines, threads=cfg.threads,
+            out_fileobj, hdr_lines, threads=out_threads,
             compressed=cfg.out_file_type == C.FT_BCF_GZ,
         )
     elif cfg.out_file_type == C.FT_VCF_GZ:
         from bs_call_tpu.io.bgzf import BgzfWriter
 
-        gz_writer = BgzfWriter(out_fileobj, threads=cfg.threads)
+        gz_writer = BgzfWriter(out_fileobj, threads=out_threads)
         writer = VcfTextWriter(gz_writer, table)
         writer.write_header(hdr_lines)
     else:
@@ -213,6 +221,7 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
     except (OSError, RuntimeError, ImportError):
         return None
     tid_keep = _tid_keep(table)
+    in_threads = cfg.input_threads or cfg.threads
     if cfg.input_file == "-":
         # stdin: BAM only (the reader's stream sits at the first record
         # after its header parse); SAM text stays on the Python path
@@ -223,7 +232,7 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
         try:
             return NativeBamStreamPipeline(
                 reader._f, reader.header, cfg, tid_keep,
-                collect_stats=collect_stats, threads=cfg.threads,
+                collect_stats=collect_stats, threads=in_threads,
             )
         except (RuntimeError, ValueError, OSError):
             return None
@@ -244,20 +253,20 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
         if is_bam:
             return NativePipeline(
                 cfg.input_file, cfg, tid_keep,
-                collect_stats=collect_stats, threads=cfg.threads,
+                collect_stats=collect_stats, threads=in_threads,
             )
         if magic == b"CRAM" or reader is not None:
             # push mode: host decode (CRAM/SAM/gz-SAM) -> C++ builder
             def factory():
                 return open_alignment_file(
-                    cfg.input_file, native=False, threads=cfg.threads,
+                    cfg.input_file, native=False, threads=in_threads,
                     reference=cfg.reference_file,
                 )
 
             header = (reader or factory()).header
             return NativePushPipeline(
                 factory, header, cfg, tid_keep,
-                collect_stats=collect_stats, threads=cfg.threads,
+                collect_stats=collect_stats, threads=in_threads,
             )
     except (RuntimeError, ValueError, OSError):
         return None
