@@ -47,6 +47,7 @@ class CallerConfig:
     output_threads: Optional[int] = None  # BGZF deflate pool size
     verbose: bool = False
     exact: bool = True             # run the float64 libm rescue pass
+    use_mesh: bool = True          # shard engine chunks over multi-device meshes
     reference_quirks: bool = True  # reproduce benign reference bugs for parity
     # engine batch / emit-stream chunk size (padded to one compiled
     # shape). Swept on the 4-core host: 16k/32k ≈ 122k reads/s, 64k 102k,

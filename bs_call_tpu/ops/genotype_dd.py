@@ -184,6 +184,12 @@ def call_genotypes_dd(counts, quals, ref, params: ModelParams):
     hi, lo = genotype_ll_dd(
         jnp.asarray(counts), jnp.asarray(quals), jnp.asarray(ref), params
     )
+    return dd_finish(hi, lo)
+
+
+def dd_finish(hi, lo):
+    """Host float64 finish of the df32 ll planes: argmax, margin, off-max
+    exponent sum, C-style log10 posteriors (genotype_model.c:231-245)."""
     ll = np.asarray(hi, dtype=np.float64) + np.asarray(lo, dtype=np.float64)
     mx = np.argmax(ll, axis=-1).astype(np.int32)
     mval = ll[np.arange(len(ll)), mx][:, None]

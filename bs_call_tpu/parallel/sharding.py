@@ -92,3 +92,65 @@ def shard_positions(mesh: Mesh, *arrays):
         spec = P(axis) if a.ndim == 1 else P(axis, None)
         out.append(jax.device_put(a, NamedSharding(mesh, spec)))
     return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# Production mesh kernels (used by pipeline.engine.CallEngine)
+# ---------------------------------------------------------------------------
+# These carry the exact single-device contracts of ops.genotype.call_genotypes
+# and ops.genotype_dd.genotype_ll_dd, with the position axis sharded over the
+# mesh. The model is a pure per-position map, so the sharded program runs the
+# identical elementwise/gather graph on each slab and needs no collectives —
+# outputs are bitwise equal to the single-device kernels, which is what lets
+# the production engine switch to the mesh whenever >1 device is present
+# without disturbing the exactness tiers (f64 rescue + scalar oracle).
+
+
+def sharded_call_genotypes(mesh: Mesh, params, dtype):
+    """jit(shard_map) of ops.genotype.call_genotypes over the mesh:
+    (counts [B,8], quals [B,8], ref [B]) ->
+    (gt_prob [B,10], max_gt [B], margin [B], off_sum [B]), B % ndev == 0."""
+    from bs_call_tpu.ops.genotype import call_genotypes
+
+    axis = mesh.axis_names[0]
+
+    def local(counts, quals, ref):
+        return call_genotypes(counts, quals, ref, params, dtype=dtype)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
+        )
+    )
+
+
+def sharded_ll_dd(mesh: Mesh, params):
+    """jit(shard_map) of ops.genotype_dd.genotype_ll_dd over the mesh:
+    (counts, quals, ref) -> (ll_hi [B,10] f32, ll_lo [B,10] f32)."""
+    from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+
+    axis = mesh.axis_names[0]
+
+    def local(counts, quals, ref):
+        return genotype_ll_dd(counts, quals, ref, params)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+        )
+    )
+
+
+def usable_device_count(n_devices: int, batch: int) -> int:
+    """Largest power of two <= n_devices that divides the batch size (the
+    fixed compiled chunk shape must split evenly over the mesh)."""
+    n = 1
+    while n * 2 <= n_devices and batch % (n * 2) == 0:
+        n *= 2
+    return n

@@ -54,6 +54,7 @@ class CallEngine:
         self._params = None
         self._jax = None
         self._fast_broken = False
+        self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
         if cfg.device != "numpy":
             try:
                 import jax
@@ -153,11 +154,54 @@ class CallEngine:
         return gt_prob, max_gt, margin, off
 
 
-    def _chunked_call(self, counts, quals, ref, dtype):
+    def _mesh_kernel(self, kind, backend):
+        """(mesh, jitted sharded kernel) for the active backend, or None
+        when it exposes <2 usable devices. kind: 'f32' | 'f64' | 'dd'.
+
+        This is the production multi-chip path: whenever the selected
+        backend is a multi-device mesh (a TPU slice, or the virtual CPU
+        mesh in tests), the fixed-shape chunk is position-sharded over
+        all devices with shard_map. The model is a pure per-position map,
+        so sharded outputs are bitwise equal to the single-device kernel
+        and the exactness tiers are untouched."""
+        key = (kind, backend)
+        if key in self._sharded:
+            return self._sharded[key]
+        res = None
+        try:
+            jax = self._jax[0]
+            devs = jax.devices(backend) if backend else jax.devices()
+            from bs_call_tpu.parallel.sharding import (
+                sharded_call_genotypes,
+                sharded_ll_dd,
+                usable_device_count,
+            )
+
+            nd = usable_device_count(len(devs), self.cfg.batch_positions)
+            if nd >= 2 and self.cfg.use_mesh:
+                from jax.sharding import Mesh
+
+                mesh = Mesh(np.array(devs[:nd]), ("pos",))
+                if kind == "dd":
+                    fn = sharded_ll_dd(mesh, self._params)
+                else:
+                    jnp = self._jax[1]
+                    dtype = jnp.float64 if kind == "f64" else jnp.float32
+                    fn = sharded_call_genotypes(mesh, self._params, dtype)
+                res = (mesh, fn)
+        except Exception:
+            res = None
+        self._sharded[key] = res
+        return res
+
+    def _chunked_call(self, counts, quals, ref, dtype, backend=None):
         """Run the jitted kernel over fixed-size chunks so exactly one
-        shape is ever compiled per dtype."""
+        shape is ever compiled per dtype; chunks are position-sharded
+        over the backend's device mesh when it has more than one chip."""
         jax, jnp, call_genotypes = self._jax
         bp = self.cfg.batch_positions
+        kind = "f64" if dtype == jnp.float64 else "f32"
+        sharded = self._mesh_kernel(kind, backend)
         n = len(ref)
         gt_prob = np.empty((n, 10), dtype=np.float64)
         max_gt = np.empty(n, dtype=np.int32)
@@ -171,10 +215,17 @@ class CallEngine:
                 ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
                 qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
                 rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-            gp, mg, mr, of = call_genotypes(
-                jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
-                self._params, dtype=dtype,
-            )
+            if sharded is not None:
+                from bs_call_tpu.parallel.sharding import shard_positions
+
+                mesh, fn = sharded
+                ckd, qkd, rkd = shard_positions(mesh, ck, qk, rk)
+                gp, mg, mr, of = fn(ckd, qkd, rkd)
+            else:
+                gp, mg, mr, of = call_genotypes(
+                    jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
+                    self._params, dtype=dtype,
+                )
             m = e - s
             gt_prob[s:e] = np.asarray(gp)[:m]
             max_gt[s:e] = np.asarray(mg)[:m]
@@ -189,11 +240,15 @@ class CallEngine:
         unpadded calls recompiled per shape — catastrophic over a
         tunneled TPU)."""
         try:
-            from bs_call_tpu.ops.genotype_dd import call_genotypes_dd
+            from bs_call_tpu.ops.genotype_dd import (
+                call_genotypes_dd,
+                dd_finish,
+            )
         except ImportError:
             return None
         try:
             bp = self.cfg.batch_positions
+            sharded = self._mesh_kernel("dd", None)
             n = len(ref)
             gt_prob = np.empty((n, 10), dtype=np.float64)
             max_gt = np.empty(n, dtype=np.int32)
@@ -211,9 +266,18 @@ class CallEngine:
                         [qk, np.zeros((pad, 8), qk.dtype)]
                     )
                     rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-                gp, mg, mr, of = call_genotypes_dd(
-                    ck, qk, rk, self._params
-                )
+                if sharded is not None:
+                    from bs_call_tpu.parallel.sharding import (
+                        shard_positions,
+                    )
+
+                    mesh, fn = sharded
+                    ckd, qkd, rkd = shard_positions(mesh, ck, qk, rk)
+                    gp, mg, mr, of = dd_finish(*fn(ckd, qkd, rkd))
+                else:
+                    gp, mg, mr, of = call_genotypes_dd(
+                        ck, qk, rk, self._params
+                    )
                 m = e - s
                 gt_prob[s:e] = gp[:m]
                 max_gt[s:e] = mg[:m]
@@ -236,7 +300,9 @@ class CallEngine:
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)
         with jax.default_device(cpu):
-            return self._chunked_call(counts, quals, ref, jnp.float64)
+            return self._chunked_call(
+                counts, quals, ref, jnp.float64, backend="cpu"
+            )
 
     def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes,
                        agg=None):
