@@ -86,6 +86,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(first-class version of the reference's per-contig runs + "
         "bcftools concat)",
     )
+    # Multi-host: each host runs one process with its contig assignment
+    # (LPT over the shared universe) and a uniform header; stats merge via
+    # a jax.distributed psum when --coordinator is given
+    p.add_argument(
+        "--num-hosts", type=int, default=0,
+        help="total hosts in a multi-host run",
+    )
+    p.add_argument(
+        "--host-id", type=int, default=None,
+        help="this host's id in [0, num-hosts)",
+    )
+    p.add_argument(
+        "--coordinator", default=None,
+        help="jax.distributed coordinator address host:port "
+        "(enables the cross-host collective stats merge)",
+    )
     return p
 
 
@@ -217,6 +233,47 @@ def main(argv=None):
     if not args.input_file:
         args.input_file = "-"
     cfg = args_to_config(args)
+    if args.num_hosts and args.num_hosts > 1:
+        if args.host_id is None or not (0 <= args.host_id < args.num_hosts):
+            print(
+                "--num-hosts requires --host-id in [0, num-hosts)",
+                file=sys.stderr,
+            )
+            return 1
+        if not cfg.output_file:
+            print("--num-hosts requires -o (per-host output)", file=sys.stderr)
+            return 1
+        if args.shards and args.shards > 1:
+            print(
+                "--num-hosts and --shards are mutually exclusive "
+                "(use shards within a single host)",
+                file=sys.stderr,
+            )
+            return 1
+        from bs_call_tpu.parallel.distributed import run_multihost
+
+        stats, ctg_stats, _wrote = run_multihost(
+            cfg, args.num_hosts, args.host_id, coordinator=args.coordinator
+        )
+        # with a coordinator the stats are globally merged on every host;
+        # host 0 writes the (single, global) report. Without one, each
+        # host writes its local report beside its output.
+        if cfg.report_file and stats is not None and (
+            args.host_id == 0 or not args.coordinator
+        ):
+            from types import SimpleNamespace
+
+            from bs_call_tpu.stats.report import write_report
+
+            tbl = SimpleNamespace(
+                contigs=[
+                    SimpleNamespace(name=n, ctg_stats=cs)
+                    for n, cs in ctg_stats
+                ]
+            )
+            with open(cfg.report_file, "w") as f:
+                write_report(f, cfg, stats, tbl, dbsnp=cfg.dbsnp_file)
+        return 0
     if args.shards and args.shards > 1:
         if not cfg.output_file:
             print("--shards requires -o", file=sys.stderr)

@@ -165,43 +165,213 @@ def vectors_to_stats(v: Dict[str, np.ndarray]) -> BsStats:
     return stats
 
 
+def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """One psum over the 'hosts' axis for a dict of per-process arrays.
+
+    Works both single-process (the axis spans the local devices; this
+    process's payload sits on device 0, zeros elsewhere, so the psum is
+    the identity) and multi-process after initialize() (each process
+    contributes its payload on its first local device and the collective
+    rides the jax.distributed transport — ICI/DCN on a pod, gloo on
+    CPU)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices())
+    mesh = Mesh(devs, ("hosts",))
+    n_local = len(jax.local_devices())
+    keys = sorted(vecs)
+    args = []
+    for k in keys:
+        a = np.asarray(vecs[k])
+        local = np.zeros((n_local,) + a.shape, dtype=a.dtype)
+        local[0] = a
+        sh = NamedSharding(mesh, P("hosts"))
+        if jax.process_count() > 1:
+            g = jax.make_array_from_process_local_data(sh, local)
+        else:
+            g = jax.device_put(local, sh)
+        args.append(g)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda *arrs: tuple(
+                jax.lax.psum(a[0], "hosts") for a in arrs
+            ),
+            mesh=mesh,
+            in_specs=tuple(P("hosts") for _ in args),
+            out_specs=tuple(P() for _ in args),
+        )
+    )
+    out = fn(*args)
+    return {k: np.asarray(o) for k, o in zip(keys, out)}
+
+
 def merge_stats_collective(stats: BsStats, mesh=None) -> BsStats:
     """Merge per-host stats into the global stats with a single psum over
     all participating processes/devices. On a single process this runs
-    over the local device mesh (shard axis); multi-host it runs over the
-    global device set brought up by initialize()."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
+    over the local device mesh; multi-host it runs over the global device
+    set brought up by initialize().
 
+    (mesh is accepted for API compatibility and ignored: the axis always
+    spans jax.devices().)"""
     vecs = stats_to_vectors(stats)
-    if mesh is None:
-        devs = np.array(jax.devices())
-        mesh = Mesh(devs, ("hosts",))
-
-    # every host contributes its local vectors; psum over the axis.
-    def merge(*arrs):
-        return tuple(
-            jax.lax.psum(a, "hosts") for a in arrs
-        )
-
-    keys = [k for k in vecs if k != "mprof_used"]
-    n_dev = mesh.devices.size
-    # replicate local arrays across local devices scaled so the psum over
-    # devices equals the per-process sum exactly once per process
-    args = []
-    for k in keys:
-        a = vecs[k]
-        contrib = np.zeros((n_dev,) + a.shape, dtype=a.dtype)
-        contrib[0] = a  # one device per process carries the payload
-        args.append(contrib)
-    shard = jax.shard_map(
-        lambda *arrs: merge(*[a[0] for a in arrs]),
-        mesh=mesh,
-        in_specs=tuple(P("hosts") for _ in args),
-        out_specs=tuple(P() for _ in args),
+    # mprof_used merges by MAX: encode as a one-hot histogram so the same
+    # psum covers it (merged used = highest nonzero bin)
+    used = int(vecs.pop("mprof_used")[0])
+    onehot = np.zeros(_MPROF_MAX, dtype=np.int64)
+    onehot[min(used, _MPROF_MAX - 1)] = 1
+    vecs["mprof_used_hist"] = onehot
+    merged = psum_arrays(vecs)
+    hist = merged.pop("mprof_used_hist")
+    nz = np.nonzero(hist)[0]
+    merged["mprof_used"] = np.array(
+        [int(nz[-1]) if len(nz) else 0], dtype=np.int64
     )
-    out = shard(*[jnp.asarray(a) for a in args])
-    merged = {k: np.asarray(o) for k, o in zip(keys, out)}
-    merged["mprof_used"] = vecs["mprof_used"]
     return vectors_to_stats(merged)
+
+
+# ---------------- multi-host runtime ----------------
+
+
+def _ctg_stats_matrix(universe, table) -> np.ndarray:
+    """[n_contigs, 14] int64 of per-contig counters in universe order
+    (zero rows for contigs this host did not call) — psum-able because
+    each contig is owned by exactly one host."""
+    by_name = {c.name: c.ctg_stats for c in table.contigs if c.ctg_stats}
+    m = np.zeros((len(universe), 14), dtype=np.int64)
+    for i, (name, _ln) in enumerate(universe):
+        gs = by_name.get(name)
+        if gs is None:
+            continue
+        m[i] = [
+            gs.snps[0], gs.snps[1], gs.indels[0], gs.indels[1],
+            gs.multi[0], gs.multi[1], gs.dbSNP_sites[0], gs.dbSNP_sites[1],
+            gs.dbSNP_var[0], gs.dbSNP_var[1], gs.CpG_ref[0], gs.CpG_ref[1],
+            gs.CpG_nonref[0], gs.CpG_nonref[1],
+        ]
+    return m
+
+
+def _matrix_to_ctg_stats(universe, m):
+    from bs_call_tpu.stats.collect import CtgStats
+
+    out = []
+    for i, (name, _ln) in enumerate(universe):
+        r = [int(x) for x in m[i]]
+        cs = CtgStats(
+            snps=r[0:2], indels=r[2:4], multi=r[4:6],
+            dbSNP_sites=r[6:8], dbSNP_var=r[8:10],
+            CpG_ref=r[10:12], CpG_nonref=r[12:14],
+        )
+        out.append((name, cs))
+    return out
+
+
+def contig_universe(cfg):
+    """(name, length) list = reference faidx ∩ SAM header — identical on
+    every host, so the LPT assignment is deterministic (the reference's
+    process_sam_header.c:52-70 contract)."""
+    from bs_call_tpu.io.fasta import FastaIndex
+    from bs_call_tpu.io.sam import open_alignment_file
+
+    reader = open_alignment_file(cfg.input_file, native=False)
+    fasta = FastaIndex(cfg.reference_file)
+    header_names = set(reader.header.ref_names)
+    universe = [
+        (e.name, e.length) for e in fasta.entries if e.name in header_names
+    ]
+    if hasattr(reader, "close"):
+        reader.close()
+    return universe
+
+
+def run_multihost(
+    cfg,
+    num_hosts: int,
+    host_id: int,
+    coordinator: str = None,
+):
+    """One host's share of a multi-host run (the reference's external
+    per-contig sharding + bcftools concat, made first-class: SURVEY §2.4).
+
+    Calls this host's LPT contig assignment with a uniform header (so the
+    per-host VCFs concatenate), then — when a coordinator brought up
+    jax.distributed — merges the JSON stats across hosts with one psum
+    and returns the GLOBAL stats on every host (report written by the
+    caller on host 0). Without a coordinator, returns this host's local
+    stats.
+
+    Returns (stats|None, ordered_ctg_stats|None, wrote_output: bool)."""
+    import os
+    import tempfile
+
+    import jax
+
+    # explicit platform pin for fleet/test deployments where the baked
+    # sitecustomize would otherwise claim an accelerator in every process
+    plat = os.environ.get("BS_CALL_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    if coordinator:
+        # on the CPU backend cross-process collectives need gloo; on a
+        # TPU pod the ICI/DCN transport is native
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass
+        initialize(coordinator, num_hosts, host_id)
+    universe = contig_universe(cfg)
+    mine = my_contigs(universe, num_hosts, host_id)
+    collect = bool(cfg.report_file)
+    stats = None
+    table = None
+    wrote = False
+    tmp_bed = None
+    try:
+        if mine:
+            fd, tmp_bed = tempfile.mkstemp(suffix=".bed")
+            with os.fdopen(fd, "w") as bed:
+                sizes = dict(universe)
+                for name in mine:
+                    bed.write(f"{name}\t0\t{sizes[name]}\n")
+            fd, tmp_sizes = tempfile.mkstemp(suffix=".sizes")
+            with os.fdopen(fd, "w") as f:
+                for name, ln in universe:
+                    f.write(f"{name}\t{ln}\n")
+            cfg.contig_bed = tmp_bed
+            if not cfg.contig_sizes:
+                cfg.contig_sizes = tmp_sizes
+            if collect:
+                stats = BsStats()
+            from bs_call_tpu.pipeline.runner import run_caller
+
+            stats, table = run_caller(cfg, stats=stats)
+            wrote = True
+        elif collect:
+            stats = BsStats()  # empty contribution to the collective
+        if collect and coordinator:
+            ctg_local = (
+                _ctg_stats_matrix(universe, table)
+                if table is not None
+                else np.zeros((len(universe), 14), dtype=np.int64)
+            )
+            merged_ctg = psum_arrays({"ctg": ctg_local})["ctg"]
+            stats = merge_stats_collective(stats)
+            # zero-count contigs are gated out by the report writer
+            ordered = _matrix_to_ctg_stats(universe, merged_ctg)
+            return stats, ordered, wrote
+        if collect and table is not None:
+            ordered = [
+                (c.name, c.ctg_stats)
+                for c in table.contigs
+                if c.ctg_stats is not None
+            ]
+            return stats, ordered, wrote
+        return stats, [], wrote
+    finally:
+        if tmp_bed:
+            try:
+                os.unlink(tmp_bed)
+            except OSError:
+                pass
