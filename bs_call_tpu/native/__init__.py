@@ -14,6 +14,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_format.cpp"),
     os.path.join(_DIR, "bsc_bgzf.cpp"),
     os.path.join(_DIR, "bsc_rans.cpp"),
+    os.path.join(_DIR, "bsc_stats.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -97,5 +98,9 @@ def load():
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64
         lib.bsc_rans_decode_o0.restype = ctypes.c_int64
         lib.bsc_rans_decode_o1.restype = ctypes.c_int64
+        lib.bsc_fisher_batch.restype = None
+        lib.bsc_fisher_batch.argtypes = [
+            ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p
+        ]
         _lib = lib
         return _lib

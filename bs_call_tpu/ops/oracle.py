@@ -18,11 +18,23 @@ from bs_call_tpu.constants import LFACT_STORE_SIZE, LOG10, MAX_QUAL, lfact_store
 
 _LFACT = lfact_store()
 
+# lfact overflow uses lgamma (bs_call.h:335). CPython's math.lgamma is its
+# own ulp-different algorithm, NOT the platform libm the C binary links —
+# call libm directly so big-count Fisher tables stay bit-identical.
+try:
+    import ctypes as _ctypes
+
+    _libm_lgamma = _ctypes.CDLL("libm.so.6").lgamma
+    _libm_lgamma.restype = _ctypes.c_double
+    _libm_lgamma.argtypes = [_ctypes.c_double]
+except OSError:  # non-glibc platform: closest available
+    _libm_lgamma = math.lgamma
+
 
 def _lfact(x: int) -> float:
     if x < LFACT_STORE_SIZE:
         return float(_LFACT[x])
-    return math.lgamma(float(x) + 1.0)
+    return _libm_lgamma(float(x) + 1.0)
 
 
 class QualProb:

@@ -72,33 +72,80 @@ def aggregate_pileup(counts2, qual_sum, mapq2_sum):
     }
 
 
+# [10, 8] 0/1 masks of categories entering each het genotype's 2x2 table
+_FTAB_MASK_A = np.zeros((10, 8), dtype=np.int64)
+_FTAB_MASK_B = np.zeros((10, 8), dtype=np.int64)
+for _g, (_ca, _cb) in _FTAB_CATS.items():
+    _FTAB_MASK_A[_g, list(_ca)] = 1
+    _FTAB_MASK_B[_g, list(_cb)] = 1
+
+
+def fisher_tables(counts2, max_gt, fix_reference_quirks: bool = False):
+    """Vectorized 2x2 table construction (call_genotypes.c:63-104):
+    counts2 [N,2,8], max_gt [N] -> ftab [N,4] int64. Rows for
+    non-heterozygous genotypes are zeros (no test)."""
+    counts2 = np.asarray(counts2, dtype=np.int64)
+    max_gt = np.asarray(max_gt)
+    ma = _FTAB_MASK_A[max_gt]  # [N, 8]
+    mb = _FTAB_MASK_B[max_gt]
+    ftab = np.empty((len(max_gt), 4), dtype=np.int64)
+    ftab[:, 0] = (counts2[:, 0] * ma).sum(axis=1)
+    ftab[:, 1] = (counts2[:, 0] * mb).sum(axis=1)
+    ftab[:, 2] = (counts2[:, 1] * ma).sum(axis=1)
+    ftab[:, 3] = (counts2[:, 1] * mb).sum(axis=1)
+    if not fix_reference_quirks:
+        # call_genotypes.c:98 uses counts[0][6] in the reverse-strand row
+        # of the GT genotype's table
+        quirk = max_gt == 8
+        if quirk.any():
+            ftab[quirk, 2] = (
+                counts2[quirk, 1, 2]
+                + counts2[quirk, 1, 4]
+                + counts2[quirk, 0, 6]
+            )
+    return ftab
+
+
 def fisher_strand(counts2, max_gt, fix_reference_quirks: bool = False):
     """Phred-scaled Fisher strand-bias log10 p-value per position.
 
     counts2: [N, 2, 8]; max_gt: [N]. Only heterozygous calls get a test
-    (call_genotypes.c:62-108); homozygous positions return 0.0.
-    """
+    (call_genotypes.c:62-108); homozygous positions return 0.0. Table
+    construction is vectorized; the diagonal-walk exact test runs in the
+    native batch kernel (bsc_stats.cpp) with a scalar-oracle fallback."""
     counts2 = np.asarray(counts2)
     max_gt = np.asarray(max_gt)
     fs = np.zeros(len(max_gt), dtype=np.float64)
     het_idx = np.nonzero(GT_HET[max_gt])[0]
-    for i in het_idx:
-        g = int(max_gt[i])
-        cats_a, cats_b = _FTAB_CATS[g]
-        c = counts2[i]
-        ftab = [
-            int(c[0, list(cats_a)].sum()),
-            int(c[0, list(cats_b)].sum()),
-            int(c[1, list(cats_a)].sum()),
-            int(c[1, list(cats_b)].sum()),
-        ]
-        if g == 8 and not fix_reference_quirks:
-            # call_genotypes.c:98 uses counts[0][6] in the reverse-strand row
-            ftab[2] = int(c[1, 2] + c[1, 4] + c[0, 6])
-        z = oracle.fisher(ftab)
+    if len(het_idx) == 0:
+        return fs
+    ftab = fisher_tables(
+        counts2[het_idx], max_gt[het_idx], fix_reference_quirks
+    )
+    lib = None
+    try:
+        from bs_call_tpu.native import load as _load
+
+        lib = _load()
+    except Exception:
+        lib = None
+    if lib is not None:
+        out = np.empty(len(het_idx), dtype=np.float64)
+        lib.bsc_fisher_batch(
+            len(het_idx),
+            ftab.ctypes.data,
+            out.ctypes.data,
+        )
+        fs[het_idx] = out
+        return fs
+    import math
+
+    for j, i in enumerate(het_idx):
+        z = oracle.fisher([int(v) for v in ftab[j]])
         if z < 1.0e-20:
             z = 1.0e-20
-        fs[i] = np.log(z) / LOG10
+        # libm log, matching both the native kernel and the C binary
+        fs[i] = math.log(z) / LOG10
     return fs
 
 
@@ -106,19 +153,34 @@ def phred_scores(gt_prob, max_gt):
     """GQ phred from the winning genotype posterior (print_vcf.c:140-148).
 
     phred = 255 if posterior >= 1 else min(255, int(-10*log10(1-p))).
-    Computed per element with libm to match the C binary exactly.
-    """
+    Vectorized with a scalar-libm rescue for rows near an integer
+    boundary or p==1 saturation, where numpy's SIMD exp/log could
+    round the last ulp differently from the C binary's libm."""
     import math
 
     gt_prob = np.asarray(gt_prob)
     max_gt = np.asarray(max_gt)
-    out = np.zeros(len(max_gt), dtype=np.int32)
-    for i in range(len(max_gt)):
-        z = gt_prob[i, max_gt[i]]
-        z1 = math.exp(z * LOG10)
-        if z1 >= 1.0:
+    n = len(max_gt)
+    out = np.zeros(n, dtype=np.int32)
+    if n == 0:
+        return out
+    z = gt_prob[np.arange(n), max_gt]
+    z1 = np.exp(z * LOG10)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        pf = -10.0 * np.log(1.0 - np.minimum(z1, 1.0 - 1e-300)) / LOG10
+        out = np.where(
+            z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255)
+        ).astype(np.int32)
+        frac = pf - np.floor(pf)
+    bnd = np.nonzero(
+        (z1 < 1.0)
+        & ((frac < 1e-9) | (frac > 1.0 - 1e-9) | (z1 > 1.0 - 1e-12))
+    )[0]
+    for i in bnd:
+        z1i = math.exp(float(z[i]) * LOG10)
+        if z1i >= 1.0:
             out[i] = 255
         else:
-            p = int(-10.0 * math.log(1.0 - z1) / LOG10)
+            p = int(-10.0 * math.log(1.0 - z1i) / LOG10)
             out[i] = 255 if p > 255 else p
     return out

@@ -102,3 +102,71 @@ def test_native_end_to_end_matches_python(tmp_path):
             run_caller(cfg, out_fileobj=out)
         outs.append(out.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_fisher_batch_parity():
+    """Native diagonal-walk Fisher == scalar oracle bit-for-bit over
+    randomized and adversarial 2x2 tables."""
+    import numpy as np
+
+    from bs_call_tpu.constants import LOG10
+    from bs_call_tpu.native import load
+    from bs_call_tpu.ops import oracle
+
+    lib = load()
+    if lib is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(17)
+    tabs = rng.integers(0, 60, size=(4000, 4)).astype(np.int64)
+    # adversarial rows: zeros, single-cell, big counts past the lfact
+    # memo (lgamma path), symmetric tables
+    extra = np.array(
+        [
+            [0, 0, 0, 0],
+            [5, 0, 0, 0],
+            [0, 7, 3, 0],
+            [300, 2, 1, 400],
+            [1000, 1000, 1000, 1000],
+            [255, 256, 257, 258],
+            [1, 0, 0, 1],
+        ],
+        dtype=np.int64,
+    )
+    tabs = np.concatenate([tabs, extra])
+    import math
+
+    out = np.empty(len(tabs), dtype=np.float64)
+    lib.bsc_fisher_batch(len(tabs), tabs.ctypes.data, out.ctypes.data)
+    for i, t in enumerate(tabs):
+        z = oracle.fisher([int(v) for v in t])
+        if z < 1.0e-20:
+            z = 1.0e-20
+        want = math.log(z) / LOG10  # libm, as the C binary
+        assert out[i] == want, (i, t, out[i], want)
+
+
+def test_phred_scores_vectorized_parity():
+    import math
+
+    import numpy as np
+
+    from bs_call_tpu.constants import LOG10
+    from bs_call_tpu.ops.postprocess import phred_scores
+
+    rng = np.random.default_rng(23)
+    n = 5000
+    gt_prob = -rng.exponential(2.0, size=(n, 10))
+    max_gt = rng.integers(0, 10, size=n).astype(np.int32)
+    # saturation rows: argmax posterior == 1 exactly
+    gt_prob[:50, :] = -50.0
+    gt_prob[np.arange(50), max_gt[:50]] = 0.0
+    got = phred_scores(gt_prob, max_gt)
+    for i in range(n):
+        z1 = math.exp(float(gt_prob[i, max_gt[i]]) * LOG10)
+        if z1 >= 1.0:
+            want = 255
+        else:
+            want = min(255, int(-10.0 * math.log(1.0 - z1) / LOG10))
+        assert got[i] == want, (i, got[i], want)
