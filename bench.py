@@ -59,23 +59,31 @@ def bench_oracle(n=2000):
     return n / dt
 
 
-def bench_end_to_end(n_reads=30000, ctg_len=300_000):
-    """Full pipeline reads/s (exact mode, the production/parity mode) on
-    a synthetic WGBS fixture; reported to stderr for context. The f32
-    on-device mode is not timed here: over the tunneled axon TPU it is
-    per-batch-transfer bound (see docs/PERF.md) and its wall clock is
-    dominated by tunnel latency, not the pipeline."""
+def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0):
+    """Realistic WGBS fixture: ~70% proper pairs (some overlapping),
+    bisulfite conversion with per-read strand tags, SNPs, indels,
+    soft clips, flagged + positional duplicates, mixed map/base quality."""
     import os
-    import sys
-    import tempfile
 
-    from bs_call_tpu.config import CallerConfig
-    from bs_call_tpu.io.bam import BamHeader, BamWriter
-    from bs_call_tpu.pipeline.runner import run_caller
+    from bs_call_tpu.io.bam import (
+        BamHeader,
+        BamWriter,
+        FDUP,
+        FMREVERSE,
+        FPAIRED,
+        FPROPER_PAIR,
+        FREAD1,
+        FREAD2,
+        FREVERSE,
+        aux_tag,
+    )
 
-    tmp = tempfile.mkdtemp(prefix="bsc_bench_")
-    rng = np.random.default_rng(0)
-    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    rng = np.random.default_rng(seed)
+    seq_arr = rng.choice(list("ACGT"), ctg_len)
+    for p in range(200, ctg_len - 2, 211):  # salt CpGs for the automaton
+        seq_arr[p] = "C"
+        seq_arr[p + 1] = "G"
+    seq = "".join(seq_arr)
     ref = os.path.join(tmp, "ref.fa")
     with open(ref, "w") as f:
         f.write(">chr1\n")
@@ -87,28 +95,129 @@ def bench_end_to_end(n_reads=30000, ctg_len=300_000):
         ref_names=["chr1"],
         ref_lens=[ctg_len],
     )
+    rl = 150
+    snp_pos = set(rng.integers(0, ctg_len, ctg_len // 1000).tolist())
+
+    def read_seq(pos, conv, length=rl):
+        s = list(seq[pos : pos + length])
+        for j in range(length):
+            gp = pos + j
+            if gp in snp_pos:
+                s[j] = "ACGT"[(ord(s[j]) + 1) % 4]
+            if conv == "C" and s[j] == "C" and rng.random() < 0.7:
+                s[j] = "T"
+            elif conv == "G" and s[j] == "G" and rng.random() < 0.6:
+                s[j] = "A"
+        return "".join(s)
+
+    recs = []
+    n = 0
+    while n < n_reads:
+        pos1 = int(rng.integers(0, ctg_len - 3 * rl))
+        conv = "C" if rng.random() < 0.5 else "G"
+        tag = aux_tag("XB", "A", conv)
+        mapq = int(rng.integers(10, 60))
+        kind = rng.random()
+        if kind < 0.7 and n + 2 <= n_reads:
+            gap = int(rng.integers(-rl + 20, 80))
+            pos2 = pos1 + rl + gap
+            isize = pos2 + rl - pos1
+            f1 = FPAIRED | FPROPER_PAIR | FMREVERSE | FREAD1
+            f2 = FPAIRED | FPROPER_PAIR | FREVERSE | FREAD2
+            dup = rng.random() < 0.03
+            if dup:
+                f1 |= FDUP
+                f2 |= FDUP
+            q1 = rng.integers(15, 44, rl).astype(np.uint8)
+            q2 = rng.integers(15, 44, rl).astype(np.uint8)
+            recs.append(
+                (pos1, f"p{n}", f1, 0, pos1, mapq, [(rl, 0)], 0, pos2,
+                 isize, read_seq(pos1, conv), q1, tag)
+            )
+            recs.append(
+                (pos2, f"p{n}", f2, 0, pos2, mapq, [(rl, 0)], 0, pos1,
+                 -isize, read_seq(pos2, conv), q2, tag)
+            )
+            n += 2
+        else:
+            r = rng.random()
+            if r < 0.2:
+                cigar = [(6, 4), (rl - 6, 0)]
+                s = "ACACAC" + read_seq(pos1, conv, rl - 6)
+            elif r < 0.4:
+                half = rl // 2
+                cigar = [(half, 0), (3, 2), (rl - half, 0)]
+                s = read_seq(pos1, conv, half) + read_seq(
+                    pos1 + half + 3, conv, rl - half
+                )
+            elif r < 0.5:
+                half = rl // 2
+                cigar = [(half, 0), (2, 1), (rl - half - 2, 0)]
+                s = (
+                    read_seq(pos1, conv, half)
+                    + "TT"
+                    + read_seq(pos1 + half, conv, rl - half - 2)
+                )
+            else:
+                cigar = [(rl, 0)]
+                s = read_seq(pos1, conv)
+            flag = FREVERSE if rng.random() < 0.5 else 0
+            q = rng.integers(15, 44, len(s)).astype(np.uint8)
+            recs.append(
+                (pos1, f"s{n}", flag, 0, pos1, mapq, cigar, -1, -1, 0,
+                 s, q, tag)
+            )
+            n += 1
+            if rng.random() < 0.05 and n < n_reads:  # positional dup
+                recs.append(
+                    (pos1, f"s{n}", flag, 0, pos1, mapq, cigar, -1, -1,
+                     0, s, rng.integers(15, 44, len(s)).astype(np.uint8),
+                     tag)
+                )
+                n += 1
+    recs.sort(key=lambda r: r[0])
     w = BamWriter(bam, hdr)
-    starts = np.sort(rng.integers(0, ctg_len - 160, n_reads))
-    q = rng.integers(20, 44, 150).astype(np.uint8)
-    for n, pos in enumerate(starts):
-        pos = int(pos)
-        w.write(
-            f"r{n}", 0, 0, pos, 60, [(150, 0)], -1, -1, 0,
-            seq[pos : pos + 150], q,
-        )
+    for r in recs:
+        w.write(*r[1:])
     w.close()
+    return ref, bam, len(recs)
+
+
+def bench_end_to_end(n_reads=30000, ctg_len=300_000, runs=3):
+    """Full pipeline reads/s (exact mode, the production/parity mode) on
+    a realistic WGBS fixture (paired+overlapping reads, indels, clips,
+    dup flags, bisulfite tags); median of `runs` warm runs reported to
+    stderr for context. The f32 on-device mode is not timed here: over
+    the tunneled axon TPU it is per-batch-transfer bound (docs/PERF.md)
+    and its wall clock is dominated by tunnel latency, not the
+    pipeline."""
+    import os
+    import sys
+    import tempfile
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    tmp = tempfile.mkdtemp(prefix="bsc_bench_")
+    ref, bam, n_recs = _make_e2e_fixture(tmp, n_reads, ctg_len)
     out = open(os.devnull, "wb")
-    cfg = CallerConfig(
-        input_file=bam, reference_file=ref, benchmark_mode=True,
-    )
-    t0 = time.perf_counter()
-    run_caller(cfg, out_fileobj=out)
-    dt = time.perf_counter() - t0
+    times = []
+    for i in range(runs + 1):  # first run warms the XLA compile cache
+        cfg = CallerConfig(
+            input_file=bam, reference_file=ref, benchmark_mode=True,
+        )
+        t0 = time.perf_counter()
+        run_caller(cfg, out_fileobj=out)
+        dt = time.perf_counter() - t0
+        if i > 0:
+            times.append(dt)
+    dt = sorted(times)[len(times) // 2]
     print(
-        f"end-to-end (exact): {n_reads/dt:.0f} reads/s, "
-        f"{ctg_len/dt:.0f} positions/s",
+        f"end-to-end (exact, median of {runs} warm): "
+        f"{n_recs/dt:.0f} reads/s, {ctg_len/dt:.0f} positions/s",
         file=sys.stderr,
     )
+    return n_recs / dt
 
 
 def main():

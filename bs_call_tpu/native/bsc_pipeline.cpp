@@ -50,6 +50,11 @@ struct Align {
     uint8_t mapq[2] = {0, 0};
     uint8_t orientation = 0, bs_strand = 0;
     std::vector<int32_t> orig_pos[2];
+    // partial-block staging state (settled-prefix handover)
+    bool processed = false;   // trims/overlap/normalize applied
+    bool meth_done = false;   // meth profile contribution recorded
+    int64_t norm_mp = 0;      // normalize() result (profile row bound)
+    int64_t end_pos = 0;      // max ref position covered (post-normalize)
 
     void clear() {
         fwd_pos = rev_pos = 0;
@@ -63,6 +68,15 @@ struct Align {
         orig_pos[1].clear();
         mapq[0] = mapq[1] = 0;
         orientation = bs_strand = 0;
+        processed = meth_done = false;
+        norm_mp = 0;
+        end_pos = 0;
+    }
+
+    int64_t start_min() const {
+        if (fwd_pos && rev_pos)
+            return fwd_pos < rev_pos ? fwd_pos : rev_pos;
+        return fwd_pos ? fwd_pos : rev_pos;
     }
 };
 
@@ -479,6 +493,20 @@ struct Pipeline {
     int blk_tid = -1;
     uint32_t blk_x = 0, blk_y = 0;
     int64_t blk_max_pos = 0;
+    int64_t blk_n_templates = 0;
+
+    // partial staging (settled-prefix handover, docs/PERF.md): once the
+    // open block spans > partial_limit settled positions, the prefix
+    // below every pending pair and below the current dup window is
+    // staged as a chunk (ranges overlap by 4 positions to match the
+    // emitter's hold_back=2 streaming contract), and fully-consumed
+    // aligns are recycled — bounding ingest memory on gap-free contigs
+    int64_t partial_limit = 0;   // positions; 0 = off
+    bool blk_partial = false;    // staged range is non-final
+    bool blk_from_list = false;  // pileup/meth read align_list, not blk_list
+    uint32_t part_x = 0;         // next range start (0 = fresh block)
+    int64_t blk_meth_x = 0;      // ref anchor for this stage's meth profile
+    int64_t partial_trigger = 0; // next record start worth attempting at
 
     // push mode: records arrive pre-decoded (raw BAM record layout) from
     // the host instead of through Reader — serves CRAM/SAM inputs
@@ -569,6 +597,12 @@ struct Pipeline {
     // fully resident in members, so re-entry resumes mid-block)
     int next_block() {
         release_block();
+        if (blk_from_list) {
+            // the consumer is done with the partial range: recycle
+            // aligns that no staged-range overlap can reach anymore
+            blk_from_list = false;
+            compact_align_list();
+        }
         if (eof) return 0;
         Stats *st = collect_stats ? &stats : nullptr;
         for (;;) {
@@ -827,48 +861,166 @@ struct Pipeline {
                 }
             }
             if (have_block) return stage() ? 1 : 0;
+            if (try_stage_partial(stp)) return 1;
         }
     }
 
     // --- template normalization + block staging ---
 
+    void process_align(Align *al, Stats *st) {
+        int msk = al->orientation == 0 ? 0 : 1;
+        if (cfg.left_trim[0] || cfg.right_trim[0])
+            if (al->has_read[0 ^ msk])
+                trim_read_mask(al->read[0 ^ msk], cfg.left_trim[0],
+                               cfg.right_trim[0]);
+        if (cfg.left_trim[1] || cfg.right_trim[1])
+            if (al->has_read[1 ^ msk])
+                trim_read_mask(al->read[1 ^ msk], cfg.left_trim[1],
+                               cfg.right_trim[1]);
+        int64_t tl[2] = {0, 0}, tr[2] = {0, 0};
+        trim_soft_clips(*al, st, tl, tr);
+        handle_overlap(*al, st, tl, tr);
+        if (st) {
+            for (int k = 0; k < 2; k++) {
+                if (!al->has_read[k]) continue;
+                for (uint8_t b : al->read[k]) {
+                    int q = b >> 2;
+                    if (q == FLT_QUAL) st->base_filter[1]++;
+                    else if (q < cfg.min_qual) st->base_filter[4]++;
+                    else st->base_filter[0]++;
+                }
+                st->filter_cts[R_NONE]++;
+                st->filter_bases[R_NONE] += al->read[k].size();
+            }
+        }
+        al->norm_mp = normalize(*al, tl, tr);
+        al->end_pos = 0;
+        for (int k = 0; k < 2; k++) {
+            if (!al->has_read[k] || al->read[k].empty()) continue;
+            int64_t s = k ? al->rev_pos : al->fwd_pos;
+            int64_t e = s + (int64_t)al->read[k].size() - 1;
+            if (e > al->end_pos) al->end_pos = e;
+        }
+        al->processed = true;
+    }
+
+    // update this stage's meth-profile bookkeeping for one align about
+    // to be profiled: row bound + leftmost ref position its FSM reads
+    void meth_account(Align *al) {
+        if (al->norm_mp > blk_max_pos) blk_max_pos = al->norm_mp;
+        int64_t s0 = al->start_min();
+        if (s0 > 1) s0 -= 1;  // FSM reads ref[pos-1]
+        if (s0 < blk_meth_x) blk_meth_x = s0 > 0 ? s0 : 1;
+    }
+
     bool stage() {
-        // compute x (process_template.c:24-27 via runner)
+        // compute x (process_template.c:24-27 via runner); a partially
+        // staged block continues at the overlap row
         Align *first = blk_list[0];
         uint32_t x = first->fwd_pos ? first->fwd_pos : first->rev_pos;
-        blk_x = x > 2 ? x - 2 : 1;
+        blk_x = part_x ? part_x : (x > 2 ? x - 2 : 1);
+        part_x = 0;
+        partial_trigger = 0;
+        blk_partial = false;
+        blk_from_list = false;
         Stats *st = collect_stats ? &stats : nullptr;
         blk_max_pos = 0;
+        blk_meth_x = blk_x;
+        blk_n_templates = 0;
         for (Align *al : blk_list) {
-            int msk = al->orientation == 0 ? 0 : 1;
-            if (cfg.left_trim[0] || cfg.right_trim[0])
-                if (al->has_read[0 ^ msk])
-                    trim_read_mask(al->read[0 ^ msk], cfg.left_trim[0],
-                                   cfg.right_trim[0]);
-            if (cfg.left_trim[1] || cfg.right_trim[1])
-                if (al->has_read[1 ^ msk])
-                    trim_read_mask(al->read[1 ^ msk], cfg.left_trim[1],
-                                   cfg.right_trim[1]);
-            int64_t tl[2] = {0, 0}, tr[2] = {0, 0};
-            trim_soft_clips(*al, st, tl, tr);
-            handle_overlap(*al, st, tl, tr);
-            if (st) {
-                for (int k = 0; k < 2; k++) {
-                    if (!al->has_read[k]) continue;
-                    for (uint8_t b : al->read[k]) {
-                        int q = b >> 2;
-                        if (q == FLT_QUAL) st->base_filter[1]++;
-                        else if (q < cfg.min_qual) st->base_filter[4]++;
-                        else st->base_filter[0]++;
-                    }
-                    st->filter_cts[R_NONE]++;
-                    st->filter_bases[R_NONE] += al->read[k].size();
-                }
+            if (!al->processed) {
+                process_align(al, st);
+                blk_n_templates++;
             }
-            int64_t mp = normalize(*al, tl, tr);
-            if (mp > blk_max_pos) blk_max_pos = mp;
+            if (!al->meth_done) meth_account(al);
         }
         return true;
+    }
+
+    // Stage the settled prefix [part_x|block start, settle_y] of the open
+    // block. Every align whose data can still change (pending mate, or
+    // inside the current duplicate window) starts above settle_y, so the
+    // staged pileup columns are final.
+    void stage_partial(uint32_t settle_y, uint32_t stp_now) {
+        Stats *st = collect_stats ? &stats : nullptr;
+        blk_tid = curr_tid;
+        blk_x = part_x ? part_x : (start_pos > 2 ? start_pos - 2 : 1);
+        blk_y = settle_y;
+        blk_partial = true;
+        blk_from_list = true;
+        blk_max_pos = 0;
+        blk_meth_x = blk_x;
+        blk_n_templates = 0;
+        for (size_t i = 0; i < align_list.size(); i++) {
+            Align *al = align_list[i];
+            if (!al->processed && al_hash_list[i] == nullptr &&
+                (uint32_t)al->start_min() < stp_now) {
+                // resolved and below every record still to come: no
+                // future record can dup-replace it (replacement needs
+                // pos == align start, and future pos >= stp_now), so
+                // its raw-byte dup comparisons are over and trimming/
+                // normalization is final
+                process_align(al, st);
+                blk_n_templates++;
+            }
+            if (al->processed && !al->meth_done &&
+                al->end_pos <= (int64_t)blk_y)
+                meth_account(al);
+        }
+        // next range re-supplies 2 context rows + the 2 held-back rows
+        part_x = settle_y > 4 ? settle_y - 3 : 1;
+    }
+
+    // attempt a partial stage once the settled span is large enough;
+    // returns true if a range was staged
+    bool try_stage_partial(uint32_t stp_now) {
+        if (partial_limit <= 0 || chr_skip || start_pos == 0) return false;
+        if ((int64_t)stp_now < partial_trigger) return false;
+        int64_t floor_x =
+            part_x ? (int64_t)part_x
+                   : (start_pos > 2 ? (int64_t)start_pos - 2 : 1);
+        if ((int64_t)stp_now < floor_x + partial_limit + 8) {
+            partial_trigger = floor_x + partial_limit + 8;
+            return false;
+        }
+        // settle below every pending pair (their resolution may mutate or
+        // extend the resident align)
+        uint32_t cap = stp_now;
+        for (size_t i = 0; i < align_list.size(); i++) {
+            if (al_hash_list[i] == nullptr) continue;
+            int64_t ps = align_list[i]->start_min();
+            if (ps > 0 && (uint32_t)ps < cap) cap = (uint32_t)ps;
+        }
+        if ((int64_t)cap < floor_x + partial_limit + 8) {
+            // pending pairs pin the prefix; retry a little later
+            partial_trigger = (int64_t)stp_now + (partial_limit >> 2);
+            return false;
+        }
+        stage_partial(cap - 2, stp_now);
+        return true;
+    }
+
+    // recycle aligns fully consumed by staged ranges (called when the
+    // consumer is done with the partial range)
+    void compact_align_list() {
+        size_t w = 0, removed_before = 0;
+        for (size_t i = 0; i < align_list.size(); i++) {
+            Align *al = align_list[i];
+            HashEntry *th = al_hash_list[i];
+            if (th == nullptr && al->processed &&
+                al->end_pos < (int64_t)part_x) {
+                free_pool.push_back(al);
+                if (i < start_idx) removed_before++;
+                continue;
+            }
+            align_list[w] = al;
+            al_hash_list[w] = th;
+            if (th) th->ix = w;
+            w++;
+        }
+        align_list.resize(w);
+        al_hash_list.resize(w);
+        start_idx -= removed_before;
     }
 
     // --- pileup (ops/pileup.py <- call_genotypes.c:180-226) ---
@@ -880,7 +1032,13 @@ struct Pipeline {
         memset(mapq2, 0, sizeof(float) * sz);
         static const int8_t base_tab_st[3][4] = {
             {0, 1, 2, 3}, {0, 5, 2, 7}, {4, 1, 6, 3}};
-        for (const Align *al : blk_list) {
+        const std::vector<Align *> &src =
+            blk_from_list ? align_list : blk_list;
+        for (const Align *al : src) {
+            // partial ranges: only processed aligns contribute (pending
+            // ones start above blk_y anyway; unprocessed reads are not
+            // yet in reference coordinates)
+            if (!al->processed) continue;
             int ori = al->orientation;
             int stx = al->bs_strand;
             for (int k = 0; k < 2; k++, ori ^= 1) {
@@ -897,7 +1055,12 @@ struct Pipeline {
                     int q = rd[j - 1] >> 2;
                     if (q > 0 && q != FLT_QUAL) { re = j - 1; break; }
                 }
-                int64_t pos = (k ? al->rev_pos : al->fwd_pos) + rs;
+                int64_t rstart = (k ? al->rev_pos : al->fwd_pos);
+                // clip below the range (prior partial ranges own those
+                // columns)
+                if (rstart + rs < (int64_t)blk_x) rs = (int64_t)blk_x - rstart;
+                if (rs > re) continue;
+                int64_t pos = rstart + rs;
                 float mq2 = (float)(al->mapq[k] * al->mapq[k]);
                 for (int64_t j = rs; j <= re && pos <= (int64_t)blk_y;
                      j++, pos++) {
@@ -977,16 +1140,25 @@ struct Pipeline {
             }
             flt_tab_minq = cfg.min_qual;
         }
-        for (const Align *al : blk_list) {
+        const std::vector<Align *> &src =
+            blk_from_list ? align_list : blk_list;
+        for (Align *al : src) {
+            // each align is profiled exactly once, in the first staged
+            // range that fully contains it (ref window anchored at
+            // blk_meth_x covers [start-1, blk_y+2])
+            if (!al->processed || al->meth_done ||
+                al->end_pos > (int64_t)blk_y)
+                continue;
+            al->meth_done = true;
             const uint8_t *btab = flt_tab + 256 * al->bs_strand;
             for (int k = 0; k < 2; k++) {
                 if (!al->has_read[k] || al->read[k].empty()) continue;
                 const auto &rd = al->read[k];
                 const auto &op = al->orig_pos[k];
                 int64_t pos = k ? al->rev_pos : al->fwd_pos;
-                int64_t ri = pos - blk_x;
+                int64_t ri = pos - blk_meth_x;
                 uint8_t state = 0;
-                if (pos > (int64_t)blk_x) {
+                if (pos > (int64_t)blk_meth_x) {
                     state = (uint8_t)(((ref[ri - 1] << 3) | ref[ri]) & 63);
                     ri++;
                 }
@@ -994,7 +1166,7 @@ struct Pipeline {
                 for (size_t j = 0; j < rd.size(); j++) {
                     uint8_t xx = btab[rd[j]];
                     uint8_t mask1 = (xx & mask) >> 1;
-                    if (pos >= (int64_t)blk_x) {
+                    if (pos >= (int64_t)blk_meth_x) {
                         uint8_t nxt = ri < ref_len ? ref[ri] : 0;
                         state = (uint8_t)(((state << 3) | nxt) & 63);
                         ri++;
@@ -1052,7 +1224,7 @@ const char *bsp_header_text(void *h) {
     return ((Pipeline *)h)->r->header_text.c_str();
 }
 
-// meta[5]: tid, x, y, max_pos, n_templates. Returns 1 or 0 (EOF).
+// meta[7]: tid, x, y, max_pos, n_templates, partial, meth_x.
 // Returns 1 (block staged, meta filled), 0 (end of input), or 2
 // (push mode starved: bsp_push more records or bsp_push_eof, call again)
 int bsp_next_block(void *h, int64_t *meta) {
@@ -1063,8 +1235,15 @@ int bsp_next_block(void *h, int64_t *meta) {
     meta[1] = p->blk_x;
     meta[2] = p->blk_y;
     meta[3] = p->blk_max_pos;
-    meta[4] = (int64_t)p->blk_list.size();
+    meta[4] = p->blk_n_templates;
+    meta[5] = p->blk_partial ? 1 : 0;
+    meta[6] = p->blk_meth_x;
     return 1;
+}
+
+// Enable settled-prefix partial staging of open blocks (0 disables).
+void bsp_set_partial(void *h, int64_t limit) {
+    ((Pipeline *)h)->partial_limit = limit;
 }
 
 // Push-mode pipeline: records arrive as raw BAM record blobs

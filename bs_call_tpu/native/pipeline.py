@@ -57,7 +57,7 @@ class NativePipeline:
                 for i in range(lib.bsp_n_refs(ctypes.c_void_p(self._h)))
             ],
         )
-        self._meta = np.zeros(5, np.int64)
+        self._meta = np.zeros(7, np.int64)
 
     def next_block(self) -> Optional[dict]:
         ok = self._lib.bsp_next_block(
@@ -68,8 +68,20 @@ class NativePipeline:
             return None
         return self._collect_block()
 
+    def set_partial(self, limit: int):
+        """Enable settled-prefix partial staging: open blocks hand over
+        ranges of ~limit positions (4-position overlaps matching the
+        emitter's hold_back contract) instead of waiting for the block to
+        close — bounding builder memory and overlapping ingest with
+        call/emit on gap-free contigs."""
+        self._lib.bsp_set_partial(
+            ctypes.c_void_p(self._h), ctypes.c_int64(int(limit))
+        )
+
     def _collect_block(self) -> dict:
-        tid, x, y, max_pos, n_templates = (int(v) for v in self._meta)
+        (tid, x, y, max_pos, n_templates, partial, meth_x) = (
+            int(v) for v in self._meta
+        )
         sz = y - x + 1
         counts2 = np.zeros((sz, 2, 8), np.int32)
         qual_sum = np.zeros((sz, 8), np.float32)
@@ -105,6 +117,8 @@ class NativePipeline:
             "y": y,
             "max_pos": max_pos,
             "n_templates": n_templates,
+            "partial": bool(partial),
+            "meth_x": meth_x,
             "counts2": counts2,
             "qual_sum": qual_sum,
             "mapq2_sum": mapq2,
@@ -199,7 +213,7 @@ class NativePushPipeline(NativePipeline):
             raise RuntimeError("bsp_open_push failed")
         self.stats_on = bool(collect_stats)
         self.header = header
-        self._meta = np.zeros(5, np.int64)
+        self._meta = np.zeros(7, np.int64)
 
     def _feed(self) -> bool:
         """Serialize and push up to BATCH records; False at source EOF."""

@@ -301,6 +301,14 @@ def process_contig_blocks_native(
 
     tracer = tracer or NULL_TRACER
     contig_seq = None
+    # settled-prefix partial staging: only with the vector emitter (the
+    # hold_back streaming contract) and whole-contig processing
+    if (
+        getattr(emitter, "vector", None) is not None
+        and not table.regions
+        and hasattr(npipe, "set_partial")
+    ):
+        npipe.set_partial(2 * max(cfg.batch_positions, 1024))
     # background ingest: the C++ pipeline releases the GIL, so block
     # production overlaps with calling + emission (the reference's
     # reader-thread / process-thread split, process.c:43-72). Contig
@@ -338,8 +346,9 @@ def process_contig_blocks_native(
                 b["seq"] = pseq
                 if stats is not None:
                     with tracer.stage("meth_prof"):
+                        mx = b.get("meth_x", b["x"])
                         rw = sequence_window(
-                            pseq, b["x"], b["y"] - b["x"] + 3
+                            pseq, mx, b["y"] - mx + 3
                         )
                         stats.grow_meth_profile(b["max_pos"] + 1)
                         npipe.block_meth_profile(rw, stats.meth_profile)
@@ -407,6 +416,10 @@ def process_contig_blocks_native(
                 and not getattr(ctg, "regions", None)
             )
             agg = blk.get("agg")
+            # a partial staged range is a chunk of a still-open block:
+            # its last rows stay held back (the next range re-supplies
+            # the 4-row overlap, exactly like the in-range chunks below)
+            partial = blk.get("partial", False)
             s = x
             while True:
                 if stream and y - s + 1 > CHUNK + 16:
@@ -414,7 +427,7 @@ def process_contig_blocks_native(
                     hold = 2
                 else:
                     e = y
-                    hold = 0
+                    hold = 2 if partial else 0
                 sl = slice(s - x, e - x + 1)
                 sub_agg = (
                     {k: v[sl] for k, v in agg.items()} if agg else None
@@ -430,7 +443,7 @@ def process_contig_blocks_native(
                 emit_q.put(
                     (ctg, soa, ref_window[s - x : e - x + 3], s, e, hold)
                 )
-                if not hold:
+                if e == y:
                     break
                 s = e - 3
         emit_q.put(None)
