@@ -220,6 +220,92 @@ def bench_end_to_end(n_reads=30000, ctg_len=300_000, runs=3):
     return n_recs / dt
 
 
+def bench_fused(n_reads=1 << 13, rl=150, n_pos=1 << 16, iters=10):
+    """Fused read-batch->call step vs host-pileup + column-transfer +
+    device call: the fused step moves ~rl bytes per read H2D instead of
+    ~100 bytes per pileup column, so it wins whenever transfer dominates
+    (SURVEY §7.2-3/M4). Context line on stderr."""
+    import sys
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from bs_call_tpu.ops.genotype import ModelParams, call_genotypes
+    from bs_call_tpu.ops.kernels.pileup_device import fused_pileup_call
+
+    rng = np.random.default_rng(0)
+    rd = np.zeros((n_reads, rl), np.uint8)
+    q = rng.integers(20, 44, size=(n_reads, rl)).astype(np.uint8)
+    rd[:] = (rng.integers(0, 4, size=(n_reads, rl)).astype(np.uint8)
+             | (q << 2))
+    starts = np.sort(
+        rng.integers(0, n_pos - rl, n_reads).astype(np.int32)
+    )
+    ori = rng.integers(0, 2, n_reads).astype(np.int32)
+    strand = rng.integers(0, 3, n_reads).astype(np.int32)
+    mapq = rng.integers(20, 60, n_reads).astype(np.int32)
+    refc = rng.integers(0, 5, n_pos).astype(np.int32)
+    params = ModelParams()
+
+    out = fused_pileup_call(
+        rd, starts, ori, strand, mapq, refc, n_pos, 20, params
+    )
+    jax.block_until_ready(out)
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        out = fused_pileup_call(
+            rd, starts, ori, strand, mapq, refc, n_pos, 20, params
+        )
+    jax.block_until_ready(out[0])
+    t_fused = (_t.perf_counter() - t0) / iters
+
+    # unfused: host scatter-add + column transfer + device call
+    from bs_call_tpu.constants import FLT_QUAL
+
+    def host_way():
+        counts2 = np.zeros((n_pos, 2, 8), np.int32)
+        qual_sum = np.zeros((n_pos, 8), np.float32)
+        qv = (rd >> 2).astype(np.int32)
+        base = (rd & 3).astype(np.int32)
+        posm = starts[:, None] + np.arange(rl, dtype=np.int32)
+        sel = (qv >= 20) & (qv != FLT_QUAL)
+        from bs_call_tpu.constants import BASE_TAB_ST
+
+        cat = BASE_TAB_ST[strand[:, None], base]
+        np.add.at(
+            counts2,
+            (posm[sel], np.broadcast_to(ori[:, None], sel.shape)[sel],
+             cat[sel]),
+            1,
+        )
+        np.add.at(qual_sum, (posm[sel], cat[sel]), qv[sel])
+        counts = counts2.sum(axis=1)
+        nn = counts.astype(np.float32)
+        avg = qual_sum / np.where(nn > 0, nn, np.float32(1))
+        quals = np.where(
+            counts > 0, np.floor(np.float32(0.5) + avg), 0
+        ).astype(np.int32)
+        return call_genotypes(
+            jnp.asarray(counts), jnp.asarray(quals), jnp.asarray(refc),
+            params, dtype=jnp.float32,
+        )
+
+    outh = host_way()
+    jax.block_until_ready(outh)
+    t0 = _t.perf_counter()
+    for _ in range(max(1, iters // 2)):
+        outh = host_way()
+    jax.block_until_ready(outh[0])
+    t_host = (_t.perf_counter() - t0) / max(1, iters // 2)
+    print(
+        f"fused pileup+call: {n_reads/t_fused:.0f} reads/s "
+        f"({n_pos/t_fused:.0f} pos/s) vs host-pileup+call "
+        f"{n_reads/t_host:.0f} reads/s -> {t_host/t_fused:.1f}x",
+        file=sys.stderr,
+    )
+
+
 def main():
     import sys
 
@@ -241,6 +327,10 @@ def main():
         bench_end_to_end()
     except Exception as e:  # context only
         print(f"end-to-end bench failed: {e}", file=sys.stderr)
+    try:
+        bench_fused()
+    except Exception as e:  # context only
+        print(f"fused bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -55,6 +55,8 @@ class CallEngine:
         self._jax = None
         self._fast_broken = False
         self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
+        self._exact_engine = None  # auto-mode exact engine ("f64"|"dd")
+        self._exact_pos = 0  # positions processed before the race
         if cfg.device != "numpy":
             try:
                 import jax
@@ -102,7 +104,10 @@ class CallEngine:
             # (default; NumPy fallback). Both land within ~1e-9 of
             # float64, below the scalar-oracle tie threshold.
             res = None
-            if self.cfg.device == "tpu" and self._jax is not None:
+            use_dd = self.cfg.device == "tpu" or (
+                self.cfg.device == "auto" and self._auto_engine(n) == "dd"
+            )
+            if use_dd and self._jax is not None:
                 res = self._call_dd(counts, quals, ref)
             if res is None:
                 res = self._call_f64_cpu(counts, quals, ref)
@@ -194,19 +199,79 @@ class CallEngine:
         self._sharded[key] = res
         return res
 
-    def _chunked_call(self, counts, quals, ref, dtype, backend=None):
-        """Run the jitted kernel over fixed-size chunks so exactly one
-        shape is ever compiled per dtype; chunks are position-sharded
-        over the backend's device mesh when it has more than one chip."""
-        jax, jnp, call_genotypes = self._jax
+    def _auto_engine(self, n_batch: int) -> str:
+        """Exact-mode engine selection for device=auto: default to the
+        f64 host path, then — once enough positions have flowed to
+        amortize a calibration — race one warm chunk through the df32
+        accelerator path vs the f64 path and switch if the accelerator
+        clearly wins. On a co-located TPU host dd wins easily; over a
+        tunneled chip the transfer dominates and f64 stays. The decision
+        never affects output bytes (both engines land below the
+        scalar-oracle tie threshold)."""
+        if self._exact_engine is not None:
+            return self._exact_engine
+        if self._jax is None:
+            self._exact_engine = "f64"
+            return "f64"
+        self._exact_pos += n_batch
+        if self._exact_pos < 2_000_000:
+            return "f64"
+        try:
+            import time
+
+            jax = self._jax[0]
+            accel = [d for d in jax.devices() if d.platform != "cpu"]
+            if not accel:
+                self._exact_engine = "f64"
+                return "f64"
+            bp = self.cfg.batch_positions
+            counts, quals, ref = (
+                np.zeros((bp, 8), np.int32),
+                np.zeros((bp, 8), np.int32),
+                np.zeros(bp, np.int32),
+            )
+
+            def clock(fn):
+                fn()  # warm (compile)
+                t0 = time.perf_counter()
+                fn()
+                return time.perf_counter() - t0
+
+            t_dd = clock(lambda: self._call_dd(counts, quals, ref))
+            t_f64 = clock(lambda: self._call_f64_cpu(counts, quals, ref))
+            self._exact_engine = (
+                "dd" if t_dd < 0.8 * t_f64 else "f64"
+            )
+        except Exception:
+            self._exact_engine = "f64"
+        return self._exact_engine
+
+    def _pipe_chunks(self, counts, quals, ref, dispatch, finish,
+                     window: int = 3):
+        """Chunked engine driver with device pipelining: up to `window`
+        chunks are in flight, so H2D transfer and device compute of chunk
+        k+1 overlap the D2H gather + host finish of chunk k (JAX async
+        dispatch does the overlapping; we just delay the blocking
+        np.asarray). Fixed chunk shape = one compiled executable."""
         bp = self.cfg.batch_positions
-        kind = "f64" if dtype == jnp.float64 else "f32"
-        sharded = self._mesh_kernel(kind, backend)
         n = len(ref)
         gt_prob = np.empty((n, 10), dtype=np.float64)
         max_gt = np.empty(n, dtype=np.int32)
         margin = np.empty(n, dtype=np.float64)
         off = np.empty(n, dtype=np.float64)
+        from collections import deque
+
+        inflight = deque()
+
+        def drain():
+            s, e, fut = inflight.popleft()
+            gp, mg, mr, of = finish(fut)
+            m = e - s
+            gt_prob[s:e] = gp[:m]
+            max_gt[s:e] = mg[:m]
+            margin[s:e] = mr[:m]
+            off[s:e] = of[:m]
+
         for s in range(0, n, bp):
             e = min(s + bp, n)
             ck, qk, rk = counts[s:e], quals[s:e], ref[s:e]
@@ -215,23 +280,39 @@ class CallEngine:
                 ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
                 qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
                 rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-            if sharded is not None:
-                from bs_call_tpu.parallel.sharding import shard_positions
+            inflight.append((s, e, dispatch(ck, qk, rk)))
+            if len(inflight) >= window:
+                drain()
+        while inflight:
+            drain()
+        return gt_prob, max_gt, margin, off
 
-                mesh, fn = sharded
-                ckd, qkd, rkd = shard_positions(mesh, ck, qk, rk)
-                gp, mg, mr, of = fn(ckd, qkd, rkd)
-            else:
-                gp, mg, mr, of = call_genotypes(
+    def _chunked_call(self, counts, quals, ref, dtype, backend=None):
+        """Run the jitted kernel over fixed-size chunks so exactly one
+        shape is ever compiled per dtype; chunks are position-sharded
+        over the backend's device mesh when it has more than one chip."""
+        jax, jnp, call_genotypes = self._jax
+        kind = "f64" if dtype == jnp.float64 else "f32"
+        sharded = self._mesh_kernel(kind, backend)
+        if sharded is not None:
+            from bs_call_tpu.parallel.sharding import shard_positions
+
+            mesh, fn = sharded
+
+            def dispatch(ck, qk, rk):
+                return fn(*shard_positions(mesh, ck, qk, rk))
+        else:
+
+            def dispatch(ck, qk, rk):
+                return call_genotypes(
                     jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
                     self._params, dtype=dtype,
                 )
-            m = e - s
-            gt_prob[s:e] = np.asarray(gp)[:m]
-            max_gt[s:e] = np.asarray(mg)[:m]
-            margin[s:e] = np.asarray(mr)[:m]
-            off[s:e] = np.asarray(of)[:m]
-        return gt_prob, max_gt, margin, off
+
+        def finish(fut):
+            return tuple(np.asarray(a) for a in fut)
+
+        return self._pipe_chunks(counts, quals, ref, dispatch, finish)
 
     def _call_dd(self, counts, quals, ref):
         """Double-float32 batch on the accelerator; None on failure.
@@ -240,50 +321,38 @@ class CallEngine:
         unpadded calls recompiled per shape — catastrophic over a
         tunneled TPU)."""
         try:
-            from bs_call_tpu.ops.genotype_dd import (
-                call_genotypes_dd,
-                dd_finish,
-            )
+            from bs_call_tpu.ops.genotype_dd import dd_finish
         except ImportError:
             return None
         try:
-            bp = self.cfg.batch_positions
+            import jax.numpy as jnp
+
+            from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+
             sharded = self._mesh_kernel("dd", None)
-            n = len(ref)
-            gt_prob = np.empty((n, 10), dtype=np.float64)
-            max_gt = np.empty(n, dtype=np.int32)
-            margin = np.empty(n, dtype=np.float64)
-            off = np.empty(n, dtype=np.float64)
-            for s in range(0, n, bp):
-                e = min(s + bp, n)
-                ck, qk, rk = counts[s:e], quals[s:e], ref[s:e]
-                pad = bp - (e - s)
-                if pad:
-                    ck = np.concatenate(
-                        [ck, np.zeros((pad, 8), ck.dtype)]
-                    )
-                    qk = np.concatenate(
-                        [qk, np.zeros((pad, 8), qk.dtype)]
-                    )
-                    rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-                if sharded is not None:
-                    from bs_call_tpu.parallel.sharding import (
-                        shard_positions,
+            if sharded is not None:
+                from bs_call_tpu.parallel.sharding import shard_positions
+
+                mesh, fn = sharded
+
+                def dispatch(ck, qk, rk):
+                    return fn(*shard_positions(mesh, ck, qk, rk))
+            else:
+
+                def dispatch(ck, qk, rk):
+                    return genotype_ll_dd(
+                        jnp.asarray(ck), jnp.asarray(qk),
+                        jnp.asarray(rk), self._params,
                     )
 
-                    mesh, fn = sharded
-                    ckd, qkd, rkd = shard_positions(mesh, ck, qk, rk)
-                    gp, mg, mr, of = dd_finish(*fn(ckd, qkd, rkd))
-                else:
-                    gp, mg, mr, of = call_genotypes_dd(
-                        ck, qk, rk, self._params
-                    )
-                m = e - s
-                gt_prob[s:e] = gp[:m]
-                max_gt[s:e] = mg[:m]
-                margin[s:e] = mr[:m]
-                off[s:e] = of[:m]
-            return gt_prob, max_gt, margin, off
+            def finish(fut):
+                return dd_finish(*fut)
+
+            # 3 chunks in flight: H2D + device df32 compute of chunk k+1
+            # overlap the D2H + host f64 finish of chunk k (the finish is
+            # real host work here, so pipelining pays even over a slow
+            # transport)
+            return self._pipe_chunks(counts, quals, ref, dispatch, finish)
         except Exception:
             return None
 
