@@ -69,6 +69,7 @@ class DbSnpIndexBuilder:
         self.contigs: Dict[str, ContigBins] = {}
         self.n_snps = 0
         self.max_buf_size = 0
+        self.prebuilt = None  # name -> pre-compressed blocks (parallel build)
 
     # ---- input ----
 
@@ -206,10 +207,58 @@ class DbSnpIndexBuilder:
             maf = z
         self.add_snp(cname, pos, "rs" + str(name), maf)
 
+    # ---- merging (parallel builds) ----
+
+    def merge_from(self, other: "DbSnpIndexBuilder"):
+        """Fold another builder (one input file's worth) into this one,
+        preserving serial-order semantics: this builder's entries came
+        first, so cross-file duplicate positions keep the earlier file's
+        name, exactly as a serial pass over the files would."""
+        if self.header is None:
+            self.header = other.header
+        remap = [self._prefix_ix(p) for p in other.prefixes]
+        identity = all(r == i for i, r in enumerate(remap))
+        for cname, octg in other.contigs.items():
+            ctg = self.contigs.get(cname)
+            if ctg is None and identity:
+                # disjoint contig + same prefix table (the per-chromosome
+                # layout): adopt the shard's bins wholesale — no
+                # per-entry work, so the parallel build's merge cost is
+                # just the transport
+                self.contigs[cname] = octg
+                self.n_snps += sum(
+                    len(b.entries) for b in octg.bins.values()
+                )
+                continue
+            if ctg is None:
+                ctg = self.contigs[cname] = ContigBins(
+                    cname, octg.min_bin, octg.max_bin
+                )
+            ctg.min_bin = min(ctg.min_bin, octg.min_bin)
+            ctg.max_bin = max(ctg.max_bin, octg.max_bin)
+            for binx, ob in octg.bins.items():
+                b = ctg.bins.setdefault(binx, Bin())
+                for j, (off, pref_ix, digits) in enumerate(ob.entries):
+                    msk = 1 << off
+                    if b.mask & msk:
+                        continue
+                    b.mask |= msk
+                    if (ob.fq_mask >> j) & 1:
+                        b.fq_mask |= 1 << len(b.entries)
+                    b.entries.append((off, remap[pref_ix], digits))
+                    self.n_snps += 1
+
     # ---- output ----
 
     def _encode_contig(self, ctg: ContigBins) -> List[bytes]:
         """Returns the zlib-compressed blocks for one contig."""
+        return [zlib.compress(bytes(b)) for b in self._raw_blocks(ctg)]
+
+    def _raw_blocks(self, ctg: ContigBins) -> List[bytearray]:
+        """Uncompressed serialized blocks (ITEMS_PER_BLOCK bins each) for
+        one contig — the compression step is separate so -@ can fan it
+        out to a pool (the reference's compress_thread ring,
+        dbSNP_idx.c:53-93)."""
         blocks = []
         buf = bytearray()
         curr_bin = ctg.min_bin
@@ -255,20 +304,47 @@ class DbSnpIndexBuilder:
             n_items += 1
             if n_items == ITEMS_PER_BLOCK:
                 self.max_buf_size = max(self.max_buf_size, len(buf))
-                blocks.append(zlib.compress(bytes(buf)))
+                blocks.append(buf)
                 buf = bytearray()
                 n_items = 0
         if n_items > 0 or not blocks:
             self.max_buf_size = max(self.max_buf_size, len(buf))
-            blocks.append(zlib.compress(bytes(buf)))
+            blocks.append(buf)
         return blocks
 
-    def write(self, path: str):
+    def write(self, path: str, threads: int = 1):
+        """Serialize the index. threads > 1 fans the per-block zlib
+        deflate out to a pool (zlib releases the GIL); blocks are written
+        in order at the same level, so the bytes are identical to the
+        serial path."""
+        pool = None
+        if threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=threads)
+        try:
+            self._write(path, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown()
+
+    def _write(self, path: str, pool):
         with open(path, "wb") as fp:
             fp.seek(32)
             for ctg in self.contigs.values():
                 ctg.offset = fp.tell()
-                for blk in self._encode_contig(ctg):
+                if self.prebuilt is not None and ctg.name in self.prebuilt:
+                    blks = self.prebuilt[ctg.name]
+                elif pool is None:
+                    blks = self._encode_contig(ctg)
+                else:
+                    blks = list(
+                        pool.map(
+                            lambda b: zlib.compress(bytes(b)),
+                            self._raw_blocks(ctg),
+                        )
+                    )
+                for blk in blks:
                     fp.write(struct.pack("<Q", len(blk)))
                     fp.write(blk)
                 fp.write(struct.pack("<Q", 0))
@@ -295,6 +371,78 @@ class DbSnpIndexBuilder:
             fp.write(
                 struct.pack("<QQQ", hdr_off, self.max_buf_size, len(comp))
             )
+
+
+def _parse_one_file(job):
+    """Worker-process body of the parallel build: one file -> one
+    builder shard (picklable; merged by the parent in file order)."""
+    path, input_type, maf_limit, select_names, aliases = job
+    shard = DbSnpIndexBuilder(
+        maf_limit=maf_limit, select_names=select_names, aliases=aliases
+    )
+    with _open_maybe_compressed(path) as f:
+        shard.read_stream(f, input_type)
+    return shard
+
+
+def _build_one_file(job):
+    """Worker-process body of the fast parallel build: parse one file AND
+    encode+compress its contig sections, shipping only the final bytes
+    (the reference's reader->serializer->compressor pipeline collapsed
+    into one worker per file, dbSNP_idx.c:53-93)."""
+    shard = _parse_one_file(job)
+    contigs = []
+    for ctg in shard.contigs.values():
+        contigs.append(
+            (
+                ctg.name,
+                ctg.min_bin,
+                ctg.max_bin,
+                shard._encode_contig(ctg),
+            )
+        )
+    return {
+        "prefixes": list(shard.prefixes),
+        "header": shard.header,
+        "n_snps": shard.n_snps,
+        "max_buf_size": shard.max_buf_size,
+        "contigs": contigs,
+    }
+
+
+def _merge_prebuilt(builder, shards) -> bool:
+    """Fold worker-encoded sections into `builder` as pre-compressed
+    contig payloads. Byte-identical to the serial build iff contig sets
+    are pairwise disjoint and every shard's prefix table is a prefix of
+    the merged first-seen order; returns False when those assumptions
+    fail (caller falls back to the serial path)."""
+    global_prefixes: List[str] = []
+    seen_contigs = set()
+    for sh in shards:
+        for i, p in enumerate(sh["prefixes"]):
+            if i < len(global_prefixes):
+                if global_prefixes[i] != p:
+                    return False
+            else:
+                global_prefixes.append(p)
+        for name, _mn, _mx, _blks in sh["contigs"]:
+            if name in seen_contigs:
+                return False
+            seen_contigs.add(name)
+    for p in global_prefixes:
+        builder._prefix_ix(p)
+    builder.prebuilt = {}
+    for sh in shards:
+        if builder.header is None:
+            builder.header = sh["header"]
+        builder.n_snps += sh["n_snps"]
+        builder.max_buf_size = max(
+            builder.max_buf_size, sh["max_buf_size"]
+        )
+        for name, mn, mx, blks in sh["contigs"]:
+            builder.contigs[name] = ContigBins(name, mn, mx)
+            builder.prebuilt[name] = blks
+    return True
 
 
 def _open_maybe_compressed(path: str):
@@ -367,13 +515,46 @@ def main(argv=None):
         header=("track " + args.description) if args.description else None,
     )
     files = list(args.inputs) + list(args.unsorted)
+    threads = max(0, args.threads)
     if not files:
         builder.read_stream(sys.stdin, args.type.lower())
+    elif threads > 1 and len(files) > 1:
+        # the reference's N-reader pipeline (dbSNP_idx.c:53-93): parse
+        # each file into its own builder in a worker PROCESS (Python
+        # parsing is GIL-bound), then fold shards in FILE ORDER so dedup
+        # and prefix-id assignment match the serial pass byte-for-byte
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        jobs = [
+            (
+                path,
+                args.type.lower(),
+                builder.maf_limit,
+                sorted(builder.select_names),
+                aliases,
+            )
+            for path in files
+        ]
+        with ctx.Pool(min(threads, len(files))) as pool:
+            shards = pool.map(_build_one_file, jobs)
+        if not _merge_prebuilt(builder, shards):
+            # shards share a contig or disagree on prefix order: redo
+            # serially (rare; per-chromosome distributions are disjoint)
+            builder = DbSnpIndexBuilder(
+                maf_limit=builder.maf_limit,
+                select_names=builder.select_names,
+                aliases=aliases,
+                header=builder.header,
+            )
+            for path in files:
+                with _open_maybe_compressed(path) as f:
+                    builder.read_stream(f, args.type.lower())
     else:
         for path in files:
             with _open_maybe_compressed(path) as f:
                 builder.read_stream(f, args.type.lower())
-    builder.write(args.output)
+    builder.write(args.output, threads=threads)
     print(
         f"Indexed {builder.n_snps} SNPs in {len(builder.contigs)} contigs",
         file=sys.stderr,

@@ -203,3 +203,79 @@ def test_idx_cli_compressed_inputs(tmp_path):
         ctg = DbSnpIndex(out).load_contig("chr1")
         assert ctg.lookup(100) == (1, "rs100")
         assert ctg.lookup(200) == (1, "rs200")
+
+
+def test_idx_parallel_byte_identical(tmp_path):
+    """-@ N (parallel readers + deflate pool) must produce the exact
+    bytes of the serial build, including cross-file duplicate positions
+    and prefix-table order (dbSNP_idx.c:53-93 pipeline analogue)."""
+    import subprocess
+    import sys as _sys
+
+    rng = __import__("numpy").random.default_rng(4)
+    files = []
+    for fi in range(4):
+        p = tmp_path / f"part{fi}.bed"
+        with open(p, "w") as f:
+            if fi == 0:
+                f.write("track name=par\n")
+            for k in range(3000):
+                pos = int(rng.integers(1, 500000))
+                ctg = f"chr{int(rng.integers(1, 4))}"
+                # <= 3 distinct prefixes: the reference's >=4-prefix
+                # escape has a writer-LE/reader-BE mismatch that the
+                # format reproduces verbatim (dbSNP.c:332)
+                pref = ["rs", "ss", "esv"][int(rng.integers(0, 3))]
+                f.write(f"{ctg}\t{pos - 1}\t{pos}\t{pref}{pos}\t0\n")
+            # cross-file duplicate positions (first file wins)
+            f.write(f"chr1\t99\t100\trs77{fi}\t0\n")
+        files.append(str(p))
+    out_s = tmp_path / "serial.bin"
+    out_p = tmp_path / "par.bin"
+    env = None
+    r1 = subprocess.run(
+        [_sys.executable, "-m", "bs_call_tpu.io.dbsnp_idx",
+         *files, "-o", str(out_s)],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r1.returncode == 0, r1.stderr
+    r2 = subprocess.run(
+        [_sys.executable, "-m", "bs_call_tpu.io.dbsnp_idx",
+         *files, "-o", str(out_p), "-@", "4"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert out_s.read_bytes() == out_p.read_bytes()
+    # and it still loads
+    idx = DbSnpIndex(str(out_p))
+    assert idx.header_line == "name=par"
+    c1 = idx.load_contig("chr1")
+    assert c1.lookup(100)[0] == 1
+
+
+def test_idx_parallel_fallback_shared_contig(tmp_path):
+    """Files sharing a contig defeat the fast section-concat path; the
+    build must detect it, fall back, and still be byte-identical."""
+    import subprocess
+    import sys as _sys
+
+    files = []
+    for fi in range(2):
+        p = tmp_path / f"f{fi}.bed"
+        with open(p, "w") as f:
+            for k in range(50):
+                pos = 10 + fi * 1000 + k * 7
+                f.write(f"chr1\t{pos - 1}\t{pos}\trs{fi}{k}\t0\n")
+            # one colliding position across both files
+            f.write("chr1\t499\t500\trs9999\t0\n")
+        files.append(str(p))
+    out_s = tmp_path / "s.bin"
+    out_p = tmp_path / "p.bin"
+    for out, extra in ((out_s, []), (out_p, ["-@", "2"])):
+        r = subprocess.run(
+            [_sys.executable, "-m", "bs_call_tpu.io.dbsnp_idx",
+             *files, "-o", str(out), *extra],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr
+    assert out_s.read_bytes() == out_p.read_bytes()
