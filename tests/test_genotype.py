@@ -121,3 +121,77 @@ def test_z_clamping_edges():
             np.testing.assert_allclose(
                 np.asarray(gt_prob)[0], want_prob, rtol=1e-10, atol=1e-10
             )
+
+
+def _edge_batch():
+    """Adversarial structured batch hitting every Z-clamp boundary
+    (genotype_model.c:28-41) and the qual extremes (1 and MAX_QUAL=43)
+    across all four informative categories, on every reference base —
+    the drift guard for the four model implementations (VERDICT r1
+    item 10)."""
+    cases = []
+    combos = [
+        (5, 7), (7, 5), (6, 4), (4, 6),  # each Z family, both orders
+    ]
+    for ca, cb in combos:
+        for na, nb in [
+            (1, 0), (0, 1), (200, 0), (0, 200), (200, 1), (1, 200),
+            (3, 3), (1000, 999),
+        ]:
+            for qa, qb in [(1, 1), (43, 43), (1, 43), (43, 1), (20, 43)]:
+                c = np.zeros(8, np.int32)
+                q = np.zeros(8, np.int32)
+                c[ca], c[cb] = na, nb
+                q[ca] = qa if na else 0
+                q[cb] = qb if nb else 0
+                cases.append((c, q))
+    # mixed informative + non-informative at the extremes
+    for qq in (1, 43):
+        c = np.array([5, 0, 0, 5, 7, 9, 2, 4], np.int32)
+        q = np.where(c > 0, qq, 0).astype(np.int32)
+        cases.append((c, q))
+        c = np.full(8, 500, np.int32)
+        q = np.where(c > 0, qq, 0).astype(np.int32)
+        cases.append((c, q))
+    counts = np.stack([c for c, _ in cases])
+    quals = np.stack([q for _, q in cases])
+    # every ref base for every case
+    counts = np.repeat(counts, 5, axis=0)
+    quals = np.repeat(quals, 5, axis=0)
+    ref = np.tile(np.arange(5, dtype=np.int32), len(cases))
+    return counts, quals, ref
+
+
+def test_adversarial_edges_all_tiers():
+    from bs_call_tpu.ops.genotype_dd import call_genotypes_dd
+    from bs_call_tpu.ops.genotype_np import call_genotypes_np
+
+    counts, quals, ref = _edge_batch()
+    want_prob, want_gt = oracle_batch(counts, quals, ref)
+
+    # tier 1: f64 XLA kernel
+    gp, mg, margin, _ = call_genotypes(
+        counts, quals, ref, PARAMS, dtype=jnp.float64
+    )
+    gp, mg, margin = map(np.asarray, (gp, mg, margin))
+    clear = margin > 1e-9
+    np.testing.assert_array_equal(mg[clear], want_gt[clear])
+    np.testing.assert_allclose(
+        gp[clear], want_prob[clear], rtol=1e-9, atol=1e-9
+    )
+
+    # tier 2: NumPy f64
+    gp2, mg2, margin2, _ = call_genotypes_np(
+        counts, quals, ref, 0.01, 0.05, 2.0
+    )
+    clear2 = margin2 > 1e-9
+    np.testing.assert_array_equal(mg2[clear2], want_gt[clear2])
+    np.testing.assert_allclose(
+        gp2[clear2], want_prob[clear2], rtol=1e-9, atol=1e-9
+    )
+
+    # tier 3: df32 (the TPU exact engine)
+    gp3, mg3, margin3, _ = call_genotypes_dd(counts, quals, ref, PARAMS)
+    clear3 = (margin3 > 1e-9) & clear2
+    np.testing.assert_array_equal(mg3[clear3], want_gt[clear3])
+    assert np.abs(gp3 - gp2).max() < 1e-8
