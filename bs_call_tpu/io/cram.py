@@ -516,6 +516,88 @@ class CramReader:
                 continue
             yield from self._decode_container(blocks, meta)
 
+    def iter_record_blobs(self):
+        """Yield (blob, tid) per slice, where blob is this slice's records
+        serialized in the raw BAM record layout ([u32 size][body])* —
+        decoded by the native C++ slice decoder (bsc_cram.cpp). The hot
+        per-record codec/feature loop never touches Python; blobs feed
+        the push-mode block builder directly.
+
+        Raises RuntimeError when the native library is unavailable, on a
+        multi-ref slice (per-record reference switching stays on the
+        Python path), or on a decode error."""
+        import ctypes
+
+        import numpy as np
+
+        from bs_call_tpu.native import load as _load
+
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        out_cap = 1 << 20
+        out = ctypes.create_string_buffer(out_cap)
+        while True:
+            got = self._read_container()
+            if got is None or got[0] is None:
+                return
+            blocks, meta = got
+            if meta["n_records"] == 0:
+                if meta["ref_id"] == -1 and not blocks:
+                    return
+                continue
+            ch_raw = blocks[0].data
+            i = 1
+            while i < len(blocks):
+                if blocks[i].content_type != CT_SLICE_HEADER:
+                    i += 1
+                    continue
+                sh = blocks[i].data
+                off = 0
+                s_ref, off = read_itf8(sh, off)
+                s_start, off = read_itf8(sh, off)
+                _span, off = read_itf8(sh, off)
+                s_nrec, off = read_itf8(sh, off)
+                _cnt, off = read_ltf8(sh, off)
+                s_nblocks, off = read_itf8(sh, off)
+                if s_ref == -2:
+                    raise RuntimeError("multi-ref slice")
+                core = b""
+                ids, datas = [], []
+                for b in blocks[i + 1 : i + 1 + s_nblocks]:
+                    if b.content_type == CT_CORE:
+                        core = b.data
+                    elif b.content_type == CT_EXTERNAL:
+                        ids.append(b.content_id)
+                        datas.append(b.data)
+                blob = b"".join(datas)
+                offs = np.zeros(len(ids) + 1, dtype=np.int64)
+                if datas:
+                    offs[1:] = np.cumsum([len(d) for d in datas])
+                ids_arr = np.ascontiguousarray(ids, dtype=np.int32)
+                rc = self._ref_codes(s_ref)
+                if rc is not None:
+                    rc = np.ascontiguousarray(rc, dtype=np.uint8)
+                while True:
+                    n = lib.bsc_cram_decode_slice(
+                        ch_raw, len(ch_raw), core, len(core),
+                        len(ids), ids_arr.ctypes.data,
+                        offs.ctypes.data, blob,
+                        s_ref, s_start, s_nrec,
+                        rc.ctypes.data if rc is not None else None,
+                        len(rc) if rc is not None else 0,
+                        out, out_cap,
+                    )
+                    if n == -1:
+                        out_cap *= 2
+                        out = ctypes.create_string_buffer(out_cap)
+                        continue
+                    if n < 0:
+                        raise RuntimeError("native CRAM decode error")
+                    break
+                yield out.raw[:n], s_ref
+                i += 1 + s_nblocks
+
     def _decode_container(self, blocks, meta):
         ch = _parse_comp_header(blocks[0].data)
         i = 1

@@ -300,6 +300,7 @@ class CramWriter:
                 out_i += ln
             elif op in (2, 3):  # D / N
                 feats.append((out_i + 1, "D", ln))
+                ref_i += ln  # deletions consume reference
             elif op in (5, 6):
                 pass
         return feats

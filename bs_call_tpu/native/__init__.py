@@ -15,6 +15,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_bgzf.cpp"),
     os.path.join(_DIR, "bsc_rans.cpp"),
     os.path.join(_DIR, "bsc_stats.cpp"),
+    os.path.join(_DIR, "bsc_cram.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -103,6 +104,16 @@ def load():
         lib.bsc_fisher_batch.restype = None
         lib.bsc_fisher_batch.argtypes = [
             ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p
+        ]
+        lib.bsc_cram_decode_slice.restype = ctypes.c_int64
+        lib.bsc_cram_decode_slice.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # comp header
+            ctypes.c_void_p, ctypes.c_int64,   # core block
+            ctypes.c_int32, ctypes.c_void_p,   # n_ext, ids
+            ctypes.c_void_p, ctypes.c_void_p,  # offs, blob
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ref/start/nrec
+            ctypes.c_void_p, ctypes.c_int64,   # ref codes
+            ctypes.c_void_p, ctypes.c_int64,   # out
         ]
         _lib = lib
         return _lib

@@ -258,6 +258,54 @@ class NativePushPipeline(NativePipeline):
         )
 
 
+class NativeCramPipeline(NativePushPipeline):
+    """CRAM input with the record hot loop in C++: containers/blocks are
+    parsed and decompressed host-side (zlib + native rANS), each slice is
+    decoded to raw-BAM blobs by bsc_cram.cpp, and the blobs feed the same
+    C++ block builder as BAM input. Python never touches individual
+    records."""
+
+    def __init__(self, path: str, cfg: CallerConfig, tid_keep: np.ndarray,
+                 collect_stats: bool = False, threads: int = 4,
+                 reference=None):
+        from bs_call_tpu.io.cram import CramReader
+
+        rdr = CramReader(path, reference=reference)
+        self._cram_args = (path, cfg, tid_keep, threads, reference)
+        NativePushPipeline.__init__(
+            self, lambda: iter(()), rdr.header, cfg, tid_keep,
+            collect_stats=collect_stats, threads=threads,
+        )
+        self._blobs = rdr.iter_record_blobs()
+        # probe: decode the first slice now so unsupported layouts fail
+        # at construction (the caller falls back to the Python decoder)
+        self._pending_blob = next(self._blobs, None)
+
+    def _feed(self) -> bool:
+        if self._pending_blob is not None:
+            blob, _tid = self._pending_blob
+            self._pending_blob = None
+        else:
+            nxt = next(self._blobs, None)
+            if nxt is None:
+                return False
+            blob, _tid = nxt
+        if not blob:
+            return True
+        self._lib.bsp_push(
+            ctypes.c_void_p(self._h), blob, ctypes.c_int64(len(blob))
+        )
+        return True
+
+    def reopen(self, collect_stats: bool) -> "NativeCramPipeline":
+        path, cfg, tid_keep, threads, reference = self._cram_args
+        self.close()
+        return NativeCramPipeline(
+            path, cfg, tid_keep, collect_stats=collect_stats,
+            threads=threads, reference=reference,
+        )
+
+
 class NativeBamStreamPipeline(NativePushPipeline):
     """Push-mode over an already-decompressed BAM byte stream positioned
     at the first record (stdin pipes): bytes are forwarded verbatim to

@@ -255,6 +255,18 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
                 cfg.input_file, cfg, tid_keep,
                 collect_stats=collect_stats, threads=in_threads,
             )
+        if magic == b"CRAM":
+            # fully native record path: C++ slice decoder -> C++ builder
+            from bs_call_tpu.native.pipeline import NativeCramPipeline
+
+            try:
+                return NativeCramPipeline(
+                    cfg.input_file, cfg, tid_keep,
+                    collect_stats=collect_stats, threads=in_threads,
+                    reference=cfg.reference_file,
+                )
+            except Exception:
+                pass  # unsupported layout: Python record decode below
         if magic == b"CRAM" or reader is not None:
             # push mode: host decode (CRAM/SAM/gz-SAM) -> C++ builder
             def factory():

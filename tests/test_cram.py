@@ -176,3 +176,47 @@ def test_native_rans_matches_python(tmp_path):
     finally:
         cc._rans_decode_native = orig
     assert a == b
+
+
+def test_roundtrip_deletion_reference_advance(tmp_path):
+    """Writer regression: mismatch detection after a deletion must
+    compare against the deletion-advanced reference (a 75M3D75M read
+    with SNPs downstream of the D used to come back with substitution
+    bases decoded off the shifted reference)."""
+    import numpy as np
+
+    from bs_call_tpu.io.bam import BamHeader
+    from bs_call_tpu.io.cram import CramReader
+    from bs_call_tpu.io.cram_writer import CramWriter
+
+    rng = np.random.default_rng(0)
+    ctg_len = 2000
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"],
+        ref_lens=[ctg_len],
+    )
+    path = tmp_path / "d.cram"
+    w = CramWriter(str(path), hdr, reference=str(ref))
+    pos = 100
+    # 75M 3D 75M with mismatches after the deletion
+    left = seq[pos : pos + 75]
+    right = list(seq[pos + 78 : pos + 153])
+    for k in (5, 20, 40):
+        right[k] = "ACGT"[("ACGT".index(right[k]) + 1) % 4]
+    s = left + "".join(right)
+    q = rng.integers(1, 44, 150).astype(np.uint8)
+    w.write("d1", 0, 0, pos, 40, [(75, 0), (3, 2), (75, 0)], -1, -1, 0,
+            s, q)
+    w.close()
+    (rec,) = list(CramReader(str(path), reference=str(ref)))
+    got = "".join("NACGT"[c] for c in rec.seq_code)
+    assert got == s
+    assert rec.cigar == [(75, 0), (3, 2), (75, 0)]
