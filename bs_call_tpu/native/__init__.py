@@ -96,6 +96,10 @@ def load():
         lib.bsp_push_eof.argtypes = [ctypes.c_void_p]
         lib.bsp_set_partial.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.bsp_set_partial.restype = None
+        lib.bsp_set_sam_mode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
+        ]
+        lib.bsp_set_sam_mode.restype = None
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64

@@ -13,7 +13,9 @@
 
 #include "bsc_common.h"
 
+#include <cctype>
 #include <cmath>
+#include <cstdlib>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -515,6 +517,13 @@ struct Pipeline {
     size_t ppos = 0;
     bool push_done = false;
 
+    // SAM text mode: pushed bytes are SAM lines; each line is converted
+    // to the raw BAM body layout in sam_buf (the reference's text parse
+    // lives in htslib; this is the from-scratch equivalent)
+    bool sam_mode = false;
+    std::unordered_map<std::string, int32_t> ref_ids;
+    std::vector<uint8_t> sam_buf;
+
     void push_bytes(const uint8_t *data, size_t len) {
         if (ppos) {  // compact consumed prefix
             pbuf.erase(pbuf.begin(), pbuf.begin() + ppos);
@@ -525,6 +534,7 @@ struct Pipeline {
 
     // 1 = record, 0 = starved (push more / push_eof), -1 = end of input
     int next_push_record(RawRec &rec) {
+        if (sam_mode) return next_push_record_sam(rec);
         size_t avail = pbuf.size() - ppos;
         if (avail < 4) return push_done ? -1 : 0;
         uint32_t block_size;
@@ -533,6 +543,202 @@ struct Pipeline {
         parse_raw(pbuf.data() + ppos + 4, block_size, rec);
         ppos += 4 + block_size;
         return 1;
+    }
+
+    int next_push_record_sam(RawRec &rec) {
+        for (;;) {
+            size_t avail = pbuf.size() - ppos;
+            if (avail == 0) return push_done ? -1 : 0;
+            const uint8_t *base = pbuf.data() + ppos;
+            const void *nl = memchr(base, '\n', avail);
+            size_t linelen;
+            if (!nl) {
+                if (!push_done) return 0;
+                linelen = avail;  // final line without newline
+            } else {
+                linelen = (const uint8_t *)nl - base;
+            }
+            ppos += linelen + (nl ? 1 : 0);
+            const char *s = (const char *)base;
+            size_t ll = linelen;
+            if (ll && s[ll - 1] == '\r') ll--;
+            if (ll == 0 || s[0] == '@') continue;
+            if (sam_line_to_bam(s, s + ll)) {
+                parse_raw(sam_buf.data(), (uint32_t)sam_buf.size(), rec);
+                return 1;
+            }
+            // malformed line: skipped
+        }
+    }
+
+    // Convert one SAM text line to the raw BAM body layout in sam_buf.
+    bool sam_line_to_bam(const char *s, const char *end) {
+        const char *f[12];
+        int nf = 0;
+        f[nf++] = s;
+        for (const char *p = s; p < end && nf < 12; p++)
+            if (*p == '\t') f[nf++] = p + 1;
+        if (nf < 11) return false;
+        auto fend = [&](int i) {
+            return i + 1 < nf ? f[i + 1] - 1 : end;
+        };
+        auto to_int = [&](int i, long long &out) {
+            char *e = nullptr;
+            out = strtoll(f[i], &e, 10);
+            return e == fend(i);
+        };
+        long long flag, pos, mapq, pnext, tlen;
+        if (!to_int(1, flag) || !to_int(3, pos) || !to_int(4, mapq) ||
+            !to_int(7, pnext) || !to_int(8, tlen))
+            return false;
+        // tid lookups
+        auto lookup = [&](const char *b, const char *e2) -> int32_t {
+            if (e2 - b == 1 && *b == '*') return -1;
+            auto it = ref_ids.find(std::string(b, e2));
+            return it == ref_ids.end() ? -1 : it->second;
+        };
+        int32_t tid = lookup(f[2], fend(2));
+        int32_t mtid;
+        if (fend(6) - f[6] == 1 && *f[6] == '=') mtid = tid;
+        else mtid = lookup(f[6], fend(6));
+        // cigar
+        std::vector<uint32_t> cig;
+        {
+            const char *p = f[5], *e2 = fend(5);
+            if (!(e2 - p == 1 && *p == '*')) {
+                uint32_t n = 0;
+                for (; p < e2; p++) {
+                    char c = *p;
+                    if (c >= '0' && c <= '9') {
+                        n = n * 10 + (uint32_t)(c - '0');
+                    } else {
+                        static const char OPS[] = "MIDNSHP=X";
+                        const char *q = strchr(OPS, c);
+                        if (!q || n == 0) return false;
+                        cig.push_back((n << 4) | (uint32_t)(q - OPS));
+                        n = 0;
+                    }
+                }
+                if (n) return false;
+            }
+        }
+        const char *seq = f[9], *seq_e = fend(9);
+        int32_t l_seq =
+            (seq_e - seq == 1 && *seq == '*') ? 0 : (int32_t)(seq_e - seq);
+        const char *qual = f[10], *qual_e = fend(10);
+        bool no_qual = (qual_e - qual == 1 && *qual == '*');
+        if (!no_qual && (int32_t)(qual_e - qual) != l_seq) return false;
+        size_t name_len = (size_t)(fend(0) - f[0]);
+        if (name_len == 0 || name_len > 254) return false;
+
+        sam_buf.clear();
+        sam_buf.reserve(64 + name_len + 4 * cig.size() + l_seq * 2);
+        auto put32 = [&](int32_t v) {
+            const uint8_t *b = (const uint8_t *)&v;
+            sam_buf.insert(sam_buf.end(), b, b + 4);
+        };
+        auto put16 = [&](uint16_t v) {
+            const uint8_t *b = (const uint8_t *)&v;
+            sam_buf.insert(sam_buf.end(), b, b + 2);
+        };
+        put32(tid);
+        put32((int32_t)pos - 1);
+        sam_buf.push_back((uint8_t)(name_len + 1));
+        sam_buf.push_back((uint8_t)mapq);
+        put16(0);  // bin
+        put16((uint16_t)cig.size());
+        put16((uint16_t)flag);
+        put32(l_seq);
+        put32(mtid);
+        put32((int32_t)pnext - 1);
+        put32((int32_t)tlen);
+        sam_buf.insert(sam_buf.end(), (const uint8_t *)f[0],
+                       (const uint8_t *)f[0] + name_len);
+        sam_buf.push_back(0);
+        if (!cig.empty())
+            sam_buf.insert(sam_buf.end(), (const uint8_t *)cig.data(),
+                           (const uint8_t *)(cig.data() + cig.size()));
+        // seq: 4-bit nibbles, =ACMGRSVTWYHKDBN
+        static int8_t c2n[256];
+        static bool c2n_init = false;
+        if (!c2n_init) {
+            memset(c2n, 15, sizeof(c2n));
+            const char *SN = "=ACMGRSVTWYHKDBN";
+            for (int i = 0; i < 16; i++) {
+                c2n[(uint8_t)SN[i]] = (int8_t)i;
+                c2n[(uint8_t)tolower(SN[i])] = (int8_t)i;
+            }
+            c2n_init = true;
+        }
+        for (int32_t k = 0; k < l_seq; k += 2) {
+            uint8_t hi = (uint8_t)c2n[(uint8_t)seq[k]];
+            uint8_t lo =
+                (k + 1 < l_seq) ? (uint8_t)c2n[(uint8_t)seq[k + 1]] : 0;
+            sam_buf.push_back((uint8_t)((hi << 4) | lo));
+        }
+        if (no_qual) {
+            sam_buf.insert(sam_buf.end(), (size_t)l_seq, 0xFF);
+        } else {
+            for (int32_t k = 0; k < l_seq; k++)
+                sam_buf.push_back((uint8_t)(qual[k] - 33));
+        }
+        // optional fields
+        for (int i = 11; i < nf; i++) {
+            const char *p = f[i], *e2 = fend(i);
+            if (e2 - p < 5 || p[2] != ':' || p[4] != ':') continue;
+            char typ = p[3];
+            const char *v = p + 5;
+            sam_buf.push_back((uint8_t)p[0]);
+            sam_buf.push_back((uint8_t)p[1]);
+            if (typ == 'A') {
+                sam_buf.push_back('A');
+                sam_buf.push_back((uint8_t)(v < e2 ? *v : 0));
+            } else if (typ == 'i') {
+                sam_buf.push_back('i');
+                put32((int32_t)strtoll(v, nullptr, 10));
+            } else if (typ == 'f') {
+                sam_buf.push_back('f');
+                float fv = strtof(v, nullptr);
+                const uint8_t *b = (const uint8_t *)&fv;
+                sam_buf.insert(sam_buf.end(), b, b + 4);
+            } else if (typ == 'Z' || typ == 'H') {
+                sam_buf.push_back((uint8_t)typ);
+                sam_buf.insert(sam_buf.end(), (const uint8_t *)v,
+                               (const uint8_t *)e2);
+                sam_buf.push_back(0);
+            } else if (typ == 'B' && v < e2) {
+                sam_buf.push_back('B');
+                char sub = *v;
+                sam_buf.push_back((uint8_t)sub);
+                std::vector<uint8_t> vals;
+                uint32_t cnt = 0;
+                const char *q = v + 1;
+                while (q < e2 && *q == ',') {
+                    q++;
+                    char *qe = nullptr;
+                    if (sub == 'f') {
+                        float fv = strtof(q, &qe);
+                        const uint8_t *b = (const uint8_t *)&fv;
+                        vals.insert(vals.end(), b, b + 4);
+                    } else {
+                        long long iv = strtoll(q, &qe, 10);
+                        int w = (sub == 'c' || sub == 'C') ? 1
+                                : (sub == 's' || sub == 'S') ? 2 : 4;
+                        const uint8_t *b = (const uint8_t *)&iv;
+                        vals.insert(vals.end(), b, b + w);
+                    }
+                    q = qe;
+                    cnt++;
+                }
+                const uint8_t *b = (const uint8_t *)&cnt;
+                sam_buf.insert(sam_buf.end(), b, b + 4);
+                sam_buf.insert(sam_buf.end(), vals.begin(), vals.end());
+            } else {
+                // unknown type: drop the two tag bytes we pushed
+                sam_buf.resize(sam_buf.size() - 2);
+            }
+        }
+        return true;
     }
 
     ~Pipeline() {
@@ -1273,6 +1479,20 @@ void *bsp_open_push(int mapq_thresh, long long max_template_len,
 
 void bsp_push(void *h, const uint8_t *data, int64_t len) {
     ((Pipeline *)h)->push_bytes(data, (size_t)len);
+}
+
+// SAM text mode for the push pipeline: pushed bytes are SAM lines.
+// names = "name1\0name2\0..." in tid order.
+void bsp_set_sam_mode(void *h, const char *names, int64_t len) {
+    Pipeline *p = (Pipeline *)h;
+    p->sam_mode = true;
+    int32_t tid = 0;
+    const char *q = names, *end = names + len;
+    while (q < end) {
+        size_t n = strlen(q);
+        p->ref_ids.emplace(std::string(q, n), tid++);
+        q += n + 1;
+    }
 }
 
 void bsp_push_eof(void *h) { ((Pipeline *)h)->push_done = true; }

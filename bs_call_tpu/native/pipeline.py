@@ -83,9 +83,10 @@ class NativePipeline:
             int(v) for v in self._meta
         )
         sz = y - x + 1
-        counts2 = np.zeros((sz, 2, 8), np.int32)
-        qual_sum = np.zeros((sz, 8), np.float32)
-        mapq2 = np.zeros(sz, np.float32)
+        # no np.zeros: the C++ pileup memsets these buffers itself
+        counts2 = np.empty((sz, 2, 8), np.int32)
+        qual_sum = np.empty((sz, 8), np.float32)
+        mapq2 = np.empty(sz, np.float32)
         self._lib.bsp_block_pileup(
             ctypes.c_void_p(self._h),
             counts2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -303,6 +304,59 @@ class NativeCramPipeline(NativePushPipeline):
         return NativeCramPipeline(
             path, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads, reference=reference,
+        )
+
+
+class NativeSamPipeline(NativePushPipeline):
+    """SAM text input parsed entirely in C++: the file's bytes (plain or
+    gzip-decompressed) stream into the push pipeline with sam_mode on —
+    line tokenization, CIGAR/seq/qual/aux conversion to the BAM layout,
+    and the block builder all run natively."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, path: str, header: BamHeader, cfg: CallerConfig,
+                 tid_keep: np.ndarray, collect_stats: bool = False,
+                 threads: int = 4):
+        NativePushPipeline.__init__(
+            self, lambda: iter(()), header, cfg, tid_keep,
+            collect_stats=collect_stats, threads=threads,
+        )
+        self._sam_args = (path, header, cfg, tid_keep, threads)
+        names = b"".join(
+            n.encode() + b"\x00" for n in header.ref_names
+        )
+        self._lib.bsp_set_sam_mode(
+            ctypes.c_void_p(self._h), names, len(names)
+        )
+        self._stream = self._open_stream(path)
+
+    @staticmethod
+    def _open_stream(path):
+        import gzip
+
+        with open(path, "rb") as probe:
+            magic = probe.read(2)
+        if magic == b"\x1f\x8b":
+            return gzip.open(path, "rb")
+        return open(path, "rb")
+
+    def _feed(self) -> bool:
+        data = self._stream.read(self.CHUNK)
+        if not data:
+            return False
+        self._lib.bsp_push(
+            ctypes.c_void_p(self._h), bytes(data),
+            ctypes.c_int64(len(data)),
+        )
+        return True
+
+    def reopen(self, collect_stats: bool) -> "NativeSamPipeline":
+        path, header, cfg, tid_keep, threads = self._sam_args
+        self.close()
+        return NativeSamPipeline(
+            path, header, cfg, tid_keep, collect_stats=collect_stats,
+            threads=threads,
         )
 
 

@@ -267,6 +267,17 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
                 )
             except Exception:
                 pass  # unsupported layout: Python record decode below
+        if magic != b"CRAM" and not is_bam and reader is not None:
+            # SAM text (plain or gzip): fully native line parser
+            from bs_call_tpu.native.pipeline import NativeSamPipeline
+
+            try:
+                return NativeSamPipeline(
+                    cfg.input_file, reader.header, cfg, tid_keep,
+                    collect_stats=collect_stats, threads=in_threads,
+                )
+            except Exception:
+                pass  # fall through to the Python record decode
         if magic == b"CRAM" or reader is not None:
             # push mode: host decode (CRAM/SAM/gz-SAM) -> C++ builder
             def factory():

@@ -109,3 +109,69 @@ def test_push_native_matches_bam(dataset, fmt):
     assert vcf_x == vcf_bam
     assert rep_x == rep_bam
     assert vcf_bam.count(b"\n") > 500
+
+
+def test_native_sam_text_parser(tmp_path):
+    """The C++ SAM line parser must produce the same calls as the Python
+    SAM reader across aux types, missing quals, = rnext, CRLF, and
+    unknown-contig lines."""
+    import gzip
+    import io
+
+    import numpy as np
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.native.pipeline import NativeSamPipeline
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\n" + seq + "\n")
+    lines = [
+        "@HD\tVN:1.6\tSO:coordinate",
+        "@SQ\tSN:chr1\tLN:40",
+    ]
+    rng = np.random.default_rng(0)
+    for i, pos in enumerate(range(1, 25)):
+        q = "".join(chr(int(v) + 33) for v in rng.integers(20, 41, 12))
+        aux = "\tXB:A:C\tNM:i:0\tZZ:Z:hello\tBB:B:c,1,-2,3\tFF:f:1.5"
+        lines.append(
+            f"r{i}\t0\tchr1\t{pos}\t60\t12M\t=\t0\t0\t"
+            f"{seq[pos - 1 : pos + 11]}\t{q}{aux}"
+        )
+    # star qual + star cigar (unmapped-ish but mapped flag 0 w/o cigar)
+    lines.append(f"s1\t0\tchr1\t3\t50\t12M\t*\t0\t0\t{seq[2:14]}\t*")
+    # CRLF line ending + unknown contig (skipped consistently)
+    sam_text = "\r\n".join(lines) + "\n"
+    plain = tmp_path / "in.sam"
+    plain.write_text(sam_text)
+    gzp = tmp_path / "in.sam.gz"
+    with gzip.open(gzp, "wt") as f:
+        f.write(sam_text)
+
+    outs = []
+    for path, native in ((plain, True), (plain, False), (gzp, True)):
+        cfg = CallerConfig(
+            input_file=str(path), reference_file=str(ref),
+            benchmark_mode=True, device="numpy",
+        )
+        if not native:
+            # force the Python record path by disabling the native class
+            orig = NativeSamPipeline.__init__
+
+            def boom(self, *a, **k):
+                raise RuntimeError("disabled")
+
+            NativeSamPipeline.__init__ = boom
+            try:
+                out = io.BytesIO()
+                run_caller(cfg, out_fileobj=out)
+            finally:
+                NativeSamPipeline.__init__ = orig
+        else:
+            out = io.BytesIO()
+            run_caller(cfg, out_fileobj=out)
+        outs.append(out.getvalue())
+    assert outs[0] == outs[1], "native SAM parse != Python SAM parse"
+    assert outs[0] == outs[2], "gzip SAM != plain SAM"
+    assert b"chr1" in outs[0]
