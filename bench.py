@@ -26,7 +26,9 @@ def make_batch(n, seed=0):
     return counts, quals, ref
 
 
-def bench_device(n=1 << 20, iters=20):
+def bench_device(n=1 << 20, iters=20, passes=3):
+    """Median of `passes` timing passes: the shared tunnel/VM varies ~3x
+    between identical runs, so a single pass misreports the chip."""
     import jax
     import jax.numpy as jnp
 
@@ -40,12 +42,16 @@ def bench_device(n=1 << 20, iters=20):
     # warmup / compile
     out = call_genotypes(counts, quals, ref, params, dtype=jnp.float32)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = call_genotypes(counts, quals, ref, params, dtype=jnp.float32)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    return n * iters / dt
+    rates = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = call_genotypes(
+                counts, quals, ref, params, dtype=jnp.float32
+            )
+        jax.block_until_ready(out)
+        rates.append(n * iters / (time.perf_counter() - t0))
+    return sorted(rates)[len(rates) // 2]
 
 
 def bench_oracle(n=2000):

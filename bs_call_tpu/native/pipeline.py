@@ -360,6 +360,48 @@ class NativeSamPipeline(NativePushPipeline):
         )
 
 
+class NativeSamStreamPipeline(NativePushPipeline):
+    """SAM text from a non-seekable stream (stdin): the header was already
+    consumed by the Python SamReader; its pending first record line plus
+    the remaining raw bytes feed the C++ sam_mode parser. Not
+    reopenable."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, stream, pending, header: BamHeader,
+                 cfg: CallerConfig, tid_keep: np.ndarray,
+                 collect_stats: bool = False, threads: int = 4):
+        NativePushPipeline.__init__(
+            self, lambda: iter(()), header, cfg, tid_keep,
+            collect_stats=collect_stats, threads=threads,
+        )
+        names = b"".join(
+            n.encode() + b"\x00" for n in header.ref_names
+        )
+        self._lib.bsp_set_sam_mode(
+            ctypes.c_void_p(self._h), names, len(names)
+        )
+        self._stream = stream
+        if pending:
+            self._lib.bsp_push(
+                ctypes.c_void_p(self._h), bytes(pending),
+                ctypes.c_int64(len(pending)),
+            )
+
+    def _feed(self) -> bool:
+        data = self._stream.read(self.CHUNK)
+        if not data:
+            return False
+        self._lib.bsp_push(
+            ctypes.c_void_p(self._h), bytes(data),
+            ctypes.c_int64(len(data)),
+        )
+        return True
+
+    def reopen(self, collect_stats: bool):
+        raise RuntimeError("SAM stream pipelines cannot be reopened")
+
+
 class NativeBamStreamPipeline(NativePushPipeline):
     """Push-mode over an already-decompressed BAM byte stream positioned
     at the first record (stdin pipes): bytes are forwarded verbatim to

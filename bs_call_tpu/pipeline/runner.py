@@ -223,19 +223,31 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
     tid_keep = _tid_keep(table)
     in_threads = cfg.input_threads or cfg.threads
     if cfg.input_file == "-":
-        # stdin: BAM only (the reader's stream sits at the first record
-        # after its header parse); SAM text stays on the Python path
+        # stdin: forward the already-positioned stream (past the header)
+        # to the native parser — BAM bytes verbatim, SAM text via the
+        # C++ sam_mode line parser
         from bs_call_tpu.io.bam import BamReader
+        from bs_call_tpu.io.sam import SamReader
 
-        if not isinstance(reader, BamReader):
-            return None
         try:
-            return NativeBamStreamPipeline(
-                reader._f, reader.header, cfg, tid_keep,
-                collect_stats=collect_stats, threads=in_threads,
-            )
+            if isinstance(reader, BamReader):
+                return NativeBamStreamPipeline(
+                    reader._f, reader.header, cfg, tid_keep,
+                    collect_stats=collect_stats, threads=in_threads,
+                )
+            if isinstance(reader, SamReader) and reader.header.ref_names:
+                from bs_call_tpu.native.pipeline import (
+                    NativeSamStreamPipeline,
+                )
+
+                return NativeSamStreamPipeline(
+                    reader._f, reader._pending, reader.header, cfg,
+                    tid_keep, collect_stats=collect_stats,
+                    threads=in_threads,
+                )
         except (RuntimeError, ValueError, OSError):
             return None
+        return None
     try:
         from bs_call_tpu.io.bgzf import is_gzip
 
