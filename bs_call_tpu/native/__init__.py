@@ -100,6 +100,10 @@ def load():
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
         ]
         lib.bsp_set_sam_mode.restype = None
+        lib.bsp_set_ref_lens.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32
+        ]
+        lib.bsp_set_ref_lens.restype = None
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64

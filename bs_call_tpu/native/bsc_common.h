@@ -116,6 +116,7 @@ struct Reader {
     BgzfStream *stream = nullptr;
     std::vector<uint8_t> buf;
     size_t pos = 0;
+    bool corrupt = false;  // malformed record geometry encountered
     std::string header_text;
     std::vector<std::string> ref_names;
     std::vector<int32_t> ref_lens;
@@ -187,6 +188,24 @@ struct RawRec {
     const uint8_t *aux_end;
 };
 
+// Validate one raw BAM record body before parsing: the pointer layout
+// derives every section from length fields inside the record, so a
+// corrupt stream would otherwise drive out-of-bounds reads and
+// unbounded vector growth downstream.
+inline bool validate_raw(const uint8_t *p, uint32_t block_size) {
+    if (block_size < 32 || block_size > (1u << 28)) return false;
+    uint8_t l_read_name = p[8];
+    if (l_read_name < 1) return false;
+    uint16_t n_cigar;
+    memcpy(&n_cigar, p + 12, 2);
+    int32_t l_seq;
+    memcpy(&l_seq, p + 16, 4);
+    if (l_seq < 0 || l_seq > (1 << 27)) return false;
+    uint64_t need = 32ull + l_read_name + 4ull * n_cigar +
+                    ((uint64_t)l_seq + 1) / 2 + (uint64_t)l_seq;
+    return need <= block_size;
+}
+
 // Parse one raw BAM record body (p points past the block_size field).
 inline void parse_raw(const uint8_t *p, uint32_t block_size, RawRec &rec) {
     memcpy(&rec.tid, p, 4);
@@ -212,7 +231,15 @@ inline void parse_raw(const uint8_t *p, uint32_t block_size, RawRec &rec) {
 inline bool next_record(Reader &r, RawRec &rec) {
     if (!r.ensure(4)) return false;
     uint32_t block_size = r.u32();
+    if (block_size > (1u << 28)) {
+        r.corrupt = true;
+        return false;
+    }
     if (!r.ensure(block_size)) { r.pos -= 4; return false; }
+    if (!validate_raw(r.buf.data() + r.pos, block_size)) {
+        r.corrupt = true;
+        return false;
+    }
     parse_raw(r.buf.data() + r.pos, block_size, rec);
     r.pos += block_size;
     return true;

@@ -212,6 +212,7 @@ std::vector<uint8_t> read_array(const Codec &c, Bits &core, ExtMap &ext) {
 
 void bulk_bytes(const Codec &c, Bits &core, ExtMap &ext, int32_t n,
                 std::vector<uint8_t> &out) {
+    if (n < 0) throw std::runtime_error("negative bulk length");
     out.resize(n);
     if (c.kind == 1) {
         Buf &b = ext_of(ext, c.cid);
@@ -511,6 +512,8 @@ int64_t bsc_cram_decode_slice(
             r.tid = s_ref;
             if (s_ref == -2) r.tid = read_int(ch.S("RI"), core, ext);
             r.rl = read_int(ch.S("RL"), core, ext);
+            if (r.rl < 0 || r.rl > (1 << 27))
+                throw std::runtime_error("bad read length");
             int32_t ap = read_int(ch.S("AP"), core, ext);
             int32_t pos1;
             if (ch.ap_delta) {
@@ -566,6 +569,8 @@ int64_t bsc_cram_decode_slice(
                 int32_t fpos = 0;
                 auto fill_match = [&](int64_t nmatch) {
                     if (nmatch <= 0) return;
+                    if (out_i + nmatch > (int64_t)r.rl)
+                        throw std::runtime_error("feature overflow");
                     if (ref_codes) {
                         int64_t end = ref_i + nmatch;
                         if (end > ref_len) end = ref_len;
@@ -576,6 +581,10 @@ int64_t bsc_cram_decode_slice(
                     out_i += nmatch;
                     ref_i += nmatch;
                 };
+                auto need = [&](int64_t nbytes) {
+                    if (nbytes < 0 || out_i + nbytes > (int64_t)r.rl)
+                        throw std::runtime_error("feature overflow");
+                };
                 for (int32_t f = 0; f < fn; f++) {
                     uint8_t fc = read_byte(ch.S("FC"), core, ext);
                     fpos += read_int(ch.S("FP"), core, ext);
@@ -584,6 +593,7 @@ int64_t bsc_cram_decode_slice(
                         case 'B': {
                             uint8_t bb = read_byte(ch.S("BA"), core, ext);
                             uint8_t q = read_byte(ch.S("QS"), core, ext);
+                            need(1);
                             r.seq[out_i] = b2c(bb);
                             r.qual[out_i] = q;
                             push_cig(r.cigar, 1, 0);
@@ -598,6 +608,7 @@ int64_t bsc_cram_decode_slice(
                                       ref_i >= 0)
                                          ? ref_codes[ref_i]
                                          : 0;
+                            need(1);
                             r.seq[out_i] =
                                 sub_base(ch.sub_matrix, rb, code);
                             push_cig(r.cigar, 1, 0);
@@ -607,6 +618,7 @@ int64_t bsc_cram_decode_slice(
                         }
                         case 'S': {
                             auto sc = read_array(ch.S("SC"), core, ext);
+                            need((int64_t)sc.size());
                             for (size_t k = 0; k < sc.size(); k++)
                                 r.seq[out_i + k] = b2c(sc[k]);
                             push_cig(r.cigar, sc.size(), 4);
@@ -615,6 +627,7 @@ int64_t bsc_cram_decode_slice(
                         }
                         case 'I': {
                             auto in = read_array(ch.S("IN"), core, ext);
+                            need((int64_t)in.size());
                             for (size_t k = 0; k < in.size(); k++)
                                 r.seq[out_i + k] = b2c(in[k]);
                             push_cig(r.cigar, in.size(), 1);
@@ -623,6 +636,7 @@ int64_t bsc_cram_decode_slice(
                         }
                         case 'i': {
                             uint8_t bb = read_byte(ch.S("BA"), core, ext);
+                            need(1);
                             r.seq[out_i] = b2c(bb);
                             push_cig(r.cigar, 1, 1);
                             out_i++;
@@ -662,6 +676,7 @@ int64_t bsc_cram_decode_slice(
                         }
                         case 'b': {
                             auto bb2 = read_array(ch.S("BB"), core, ext);
+                            need((int64_t)bb2.size());
                             for (size_t k = 0; k < bb2.size(); k++)
                                 r.seq[out_i + k] = b2c(bb2[k]);
                             push_cig(r.cigar, bb2.size(), 0);

@@ -141,6 +141,11 @@ ClassifyResult classify(const RawRec &rec, Align &al, const Config &cfg) {
             else if (flag & FDUP) filtered = R_DUPLICATE;
         }
     }
+    // corrupt/garbage coordinates (< -1) would wrap to huge unsigned
+    // positions and hold blocks open across the whole coordinate space
+    if (!filtered && rec.pos < -1) filtered = R_NOPOS;
+    if (!filtered && (flag & FPAIRED) && rec.mpos < -1)
+        filtered = R_NOMATEPOS;
     bool mis_matched = (flag & (FMUNMAP | FPROPER)) != FPROPER;
     bool reverse = flag & FREVERSE;
     bool second = flag & FREAD2;
@@ -167,6 +172,16 @@ ClassifyResult classify(const RawRec &rec, Align &al, const Config &cfg) {
                 filtered = R_INSERT_SIZE;
                 if (cfg.keep_unmatched) mis_matched = true;
             }
+        }
+        if (!filtered && !reverse &&
+            (long long)rec.mpos - (long long)rec.pos >
+                cfg.max_template_len) {
+            // field-consistency bound: a legal pair with |isize| <=
+            // max_template_len cannot have its mate further than that
+            // downstream; corrupt mpos values would otherwise hold the
+            // block open across the gap and grow it without limit
+            filtered = R_INSERT_SIZE;
+            if (cfg.keep_unmatched) mis_matched = true;
         }
         if (reverse) {
             if (rec.pos < rec.mpos) {
@@ -222,6 +237,20 @@ ClassifyResult classify(const RawRec &rec, Align &al, const Config &cfg) {
         }
         al.ref_span[ix] = span;
         align_length = position;
+        if (position != (uint32_t)rec.l_seq) {
+            // read-consuming CIGAR ops must cover the sequence exactly
+            // (the htslib invariant); corrupt CIGARs would otherwise
+            // drive out-of-range erases in trim/normalize. The P-as-S
+            // quirk counts P here, matching the downstream arithmetic.
+            skip = true;
+            if (!filtered) filtered = R_NOT_CORRECTLY_ALIGNED;
+            res.skip = true;
+            res.filtered = filtered;
+            res.reverse = reverse;
+            res.align_length = 0;
+            res.flag = aflag;
+            return res;
+        }
         al.read[ix].resize(rec.l_seq);
         pack_read(rec, al.read[ix].data());
         al.has_read[ix] = true;
@@ -486,6 +515,7 @@ struct Pipeline {
     int curr_tid = -1, old_tid = -1;
     bool chr_skip = false;
     uint32_t max_pos = 0, start_pos = 0, curr_pos = 0;
+    uint32_t last_start = 0;  // sortedness enforcement (per contig)
     size_t start_idx = 0;
     Align *pending = nullptr;
     bool eof = false;
@@ -523,6 +553,7 @@ struct Pipeline {
     bool sam_mode = false;
     std::unordered_map<std::string, int32_t> ref_ids;
     std::vector<uint8_t> sam_buf;
+    std::vector<int64_t> ref_lens;  // per-tid contig lengths (sanity cap)
 
     void push_bytes(const uint8_t *data, size_t len) {
         if (ppos) {  // compact consumed prefix
@@ -532,14 +563,17 @@ struct Pipeline {
         pbuf.insert(pbuf.end(), data, data + len);
     }
 
-    // 1 = record, 0 = starved (push more / push_eof), -1 = end of input
+    // 1 = record, 0 = starved (push more / push_eof), -1 = end of
+    // input, -2 = corrupt stream (fatal, "SAM input truncated" analogue)
     int next_push_record(RawRec &rec) {
         if (sam_mode) return next_push_record_sam(rec);
         size_t avail = pbuf.size() - ppos;
         if (avail < 4) return push_done ? -1 : 0;
         uint32_t block_size;
         memcpy(&block_size, pbuf.data() + ppos, 4);
+        if (block_size > (1u << 28)) return -2;
         if (avail < 4 + (size_t)block_size) return push_done ? -1 : 0;
+        if (!validate_raw(pbuf.data() + ppos + 4, block_size)) return -2;
         parse_raw(pbuf.data() + ppos + 4, block_size, rec);
         ppos += 4 + block_size;
         return 1;
@@ -817,9 +851,11 @@ struct Pipeline {
             if (push_mode) {
                 int got = next_push_record(rec);
                 if (got == 0) return 2;
+                if (got == -2) return -1;  // corrupt stream
                 have_rec = got > 0;
             } else {
                 have_rec = next_record(*r, rec);
+                if (!have_rec && r->corrupt) return -1;
             }
             if (!have_rec) {
                 eof = true;
@@ -899,6 +935,25 @@ struct Pipeline {
                 ml = al->fwd_pos + al->ref_span[0];
                 stp = al->fwd_pos;
             }
+            if (curr_tid >= 0 && curr_tid < (int)ref_lens.size() &&
+                ref_lens[curr_tid] > 0 &&
+                (int64_t)ml > ref_lens[curr_tid] + (1 << 20)) {
+                // a record "ending" >1Mb past its contig is corruption
+                // (e.g. a flipped CIGAR byte making a 200Mb deletion);
+                // accepting it would stage a block across the overshoot
+                pending = al;
+                return -1;
+            }
+            if (new_contig) last_start = 0;
+            if (last_start && stp < last_start) {
+                // input is contractually coordinate-sorted; a backwards
+                // jump is corruption (and would grow the open block
+                // without bound), so fail like the reference's
+                // "SAM input truncated" fatal
+                pending = al;
+                return -1;
+            }
+            last_start = stp;
             if (ml > max_pos) max_pos = ml;
             if (start_pos == 0 || start_pos > stp) start_pos = stp;
 
@@ -1414,6 +1469,7 @@ void *bsp_open(const char *path, int nthreads, int mapq_thresh,
     p->cfg.right_trim[1] = rt1;
     p->collect_stats = collect_stats;
     p->tid_keep.assign(tid_keep, tid_keep + n_tids);
+    p->ref_lens.assign(r->ref_lens.begin(), r->ref_lens.end());
     return p;
 }
 
@@ -1435,7 +1491,14 @@ const char *bsp_header_text(void *h) {
 // (push mode starved: bsp_push more records or bsp_push_eof, call again)
 int bsp_next_block(void *h, int64_t *meta) {
     Pipeline *p = (Pipeline *)h;
-    int rc = p->next_block();
+    int rc;
+    try {
+        rc = p->next_block();
+    } catch (...) {
+        // allocation failure or internal error must not unwind through
+        // the C ABI into ctypes (undefined behaviour -> crashes later)
+        return -1;
+    }
     if (rc != 1) return rc;
     meta[0] = p->blk_tid;
     meta[1] = p->blk_x;
@@ -1478,7 +1541,19 @@ void *bsp_open_push(int mapq_thresh, long long max_template_len,
 }
 
 void bsp_push(void *h, const uint8_t *data, int64_t len) {
-    ((Pipeline *)h)->push_bytes(data, (size_t)len);
+    try {
+        ((Pipeline *)h)->push_bytes(data, (size_t)len);
+    } catch (...) {
+        // out of memory: drop the bytes; the stream will then look
+        // truncated and next_block reports the error
+        ((Pipeline *)h)->push_done = true;
+    }
+}
+
+// Contig lengths for the end-overshoot corruption cap (push mode; file
+// mode fills them from the BAM header itself).
+void bsp_set_ref_lens(void *h, const int64_t *lens, int32_t n) {
+    ((Pipeline *)h)->ref_lens.assign(lens, lens + n);
 }
 
 // SAM text mode for the push pipeline: pushed bytes are SAM lines.

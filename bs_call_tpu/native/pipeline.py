@@ -64,6 +64,8 @@ class NativePipeline:
             ctypes.c_void_p(self._h),
             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
+        if ok == -1:
+            raise ValueError("corrupt alignment stream (truncated input)")
         if ok != 1:
             return None
         return self._collect_block()
@@ -212,6 +214,11 @@ class NativePushPipeline(NativePipeline):
         )
         if not self._h:
             raise RuntimeError("bsp_open_push failed")
+        if header.ref_lens:
+            lens = np.asarray(header.ref_lens, dtype=np.int64)
+            lib.bsp_set_ref_lens(
+                ctypes.c_void_p(self._h), lens.ctypes.data, len(lens)
+            )
         self.stats_on = bool(collect_stats)
         self.header = header
         self._meta = np.zeros(7, np.int64)
@@ -241,6 +248,10 @@ class NativePushPipeline(NativePipeline):
             )
             if rc == 1:
                 return self._collect_block()
+            if rc == -1:
+                raise ValueError(
+                    "corrupt alignment stream (truncated input)"
+                )
             if rc == 0:
                 return None
             # starved

@@ -102,6 +102,13 @@ def classify_record(
             elif flag & B.FDUP:
                 filtered = C.FLT_DUPLICATE
 
+    # corrupt coordinates (< -1) would wrap to huge unsigned positions
+    # and hold blocks open across the whole coordinate space (matches
+    # the native classify)
+    if not filtered and rec.pos < -1:
+        filtered = C.FLT_NOPOS
+    if not filtered and (flag & B.FPAIRED) and rec.mpos < -1:
+        filtered = C.FLT_NOMATEPOS
     mis_matched = (flag & (B.FMUNMAP | B.FPROPER_PAIR)) != B.FPROPER_PAIR
     reverse = bool(flag & B.FREVERSE)
     second_read = bool(flag & B.FREAD2)
@@ -133,6 +140,18 @@ def classify_record(
                 filtered = C.FLT_INSERT_SIZE
                 if keep_unmatched:
                     mis_matched = True
+        if (
+            not filtered
+            and not reverse
+            and rec.mpos - rec.pos > max_template_len
+        ):
+            # field-consistency bound (matches native classify): a legal
+            # pair with |isize| <= max_template_len cannot have its mate
+            # further downstream than that; corrupt mpos would otherwise
+            # grow the open block without limit
+            filtered = C.FLT_INSERT_SIZE
+            if keep_unmatched:
+                mis_matched = True
         if reverse:
             if rec.pos < rec.mpos:
                 if not filtered:
@@ -165,6 +184,18 @@ def classify_record(
     if not skip:
         ix = 1 if reverse else 0
         align_length = cigar_to_misms(rec, al, ix)
+        if align_length != rec.l_qseq:
+            # read-consuming CIGAR ops must cover the sequence exactly
+            # (htslib invariant; matches the native classify) — corrupt
+            # CIGARs would otherwise drive out-of-range trims
+            return RecResult(
+                al=al,
+                filtered=filtered or C.FLT_NOT_CORRECTLY_ALIGNED,
+                skip=True,
+                reverse=reverse,
+                align_length=0,
+                alignment_flag=alignment_flag,
+            )
         packed = getattr(rec, "packed", None)
         if packed is not None:  # native ingest precomputed these
             al.read[ix] = packed

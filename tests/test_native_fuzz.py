@@ -1,0 +1,115 @@
+"""Native parser robustness: corrupt and truncated record streams must
+fail cleanly (ValueError / skipped records), never crash the process or
+grow memory without bound. Runs in a subprocess with an address-space
+rlimit so a regression shows up as a failure, not an OOM'd test runner."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+from bs_call_tpu.native import load
+
+pytestmark = pytest.mark.skipif(
+    load() is None, reason="native toolchain unavailable"
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = r"""
+import sys, resource, ctypes, tempfile, pathlib
+import numpy as np
+resource.setrlimit(resource.RLIMIT_AS, (6 << 30, 6 << 30))
+sys.path.insert(0, %(repo)r)
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.native.pipeline import NativePushPipeline
+from bs_call_tpu.io.bam import BamHeader, BamWriter, BamReader, \
+    encode_bam_record
+
+d = pathlib.Path(tempfile.mkdtemp())
+SEQ = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+hdr = BamHeader(
+    text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:40\n",
+    ref_names=["chr1"], ref_lens=[40],
+)
+w = BamWriter(str(d / "in.bam"), hdr)
+for n, pos in enumerate(range(0, 28)):
+    w.write(f"r{n}", 0, 0, pos, 60, [(12, 0)], -1, -1, 0,
+            SEQ[pos:pos + 12], np.full(12, 40, np.uint8))
+w.close()
+blob = b"".join(encode_bam_record(r) for r in BamReader(str(d / "in.bam")))
+cfg = CallerConfig()
+rng = np.random.default_rng(%(seed)d)
+
+def run_bytes(b):
+    p = NativePushPipeline(lambda: iter(()), hdr, cfg, np.ones(1, np.int8))
+    p._lib.bsp_push(ctypes.c_void_p(p._h), bytes(b),
+                    ctypes.c_int64(len(b)))
+    p._lib.bsp_push_eof(ctypes.c_void_p(p._h))
+    try:
+        while p.next_block() is not None:
+            pass
+    except ValueError:
+        pass
+    p.close()
+
+for trial in range(150):
+    b = bytearray(blob)
+    for _ in range(int(rng.integers(1, 5))):
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    run_bytes(b)
+for cut in range(0, len(blob), 11):
+    run_bytes(blob[:cut])
+print("fuzz ok")
+"""
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_corrupt_and_truncated_streams(seed):
+    res = subprocess.run(
+        [sys.executable, "-c", SCRIPT % {"repo": REPO, "seed": seed}],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, (res.stdout + res.stderr)[-2000:]
+    assert "fuzz ok" in res.stdout
+
+
+def test_sorted_input_enforced(tmp_path):
+    """A backwards position jump (corruption / unsorted input) raises a
+    clean error instead of growing the open block unboundedly."""
+    import ctypes
+
+    import numpy as np
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.io.bam import BamHeader, encode_bam_record, BamRec
+    from bs_call_tpu.native.pipeline import NativePushPipeline
+
+    hdr = BamHeader(
+        text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:1000\n",
+        ref_names=["chr1"], ref_lens=[1000],
+    )
+
+    def rec(pos):
+        return BamRec(
+            name=f"x{pos}", flag=0, tid=0, pos=pos, mapq=60,
+            cigar=[(10, 0)], mtid=-1, mpos=-1, isize=0,
+            seq_code=np.ones(10, np.uint8),
+            qual=np.full(10, 40, np.uint8), aux=b"", l_qseq=10,
+        )
+
+    blob = b"".join(
+        encode_bam_record(rec(p)) for p in (100, 500, 120)
+    )  # 120 < 500: unsorted
+    p = NativePushPipeline(
+        lambda: iter(()), hdr, CallerConfig(), np.ones(1, np.int8)
+    )
+    p._lib.bsp_push(
+        ctypes.c_void_p(p._h), blob, ctypes.c_int64(len(blob))
+    )
+    p._lib.bsp_push_eof(ctypes.c_void_p(p._h))
+    with pytest.raises(ValueError):
+        while p.next_block() is not None:
+            pass
+    p.close()
