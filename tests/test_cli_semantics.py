@@ -111,3 +111,33 @@ def test_binary_to_tty_guard(tmp_path, monkeypatch):
     # ...but not when -o is given
     cfg = _cfg([bam, "-r", ref, "-O", "b", "-o", str(tmp_path / "o.bcf")])
     assert cfg.out_file_type == C.FT_BCF_GZ
+
+
+def test_shards_dbsnp_report_matches_single(tmp_path):
+    """--shards with -D + --report-file: concatenated VCF and merged
+    report (incl. dbSNP sections) byte-identical to single-process."""
+    ref, bam = _fixture(tmp_path)
+    b = DbSnpIndexBuilder(header="track name=t")
+    for pos in (5, 10, 15, 21):
+        b.add_snp("chr1", pos, "rs%d" % pos)
+    dbsnp = tmp_path / "idx.bin"
+    b.write(str(dbsnp))
+    outs = {}
+    for tag, extra in (("single", []), ("sharded", ["--shards", "2"])):
+        out = tmp_path / f"{tag}.vcf"
+        rep = tmp_path / f"{tag}.json"
+        res = subprocess.run(
+            [
+                sys.executable, "-m", "bs_call_tpu.cli", bam, "-r", ref,
+                "-o", str(out), "-D", str(dbsnp), "--benchmark-mode",
+                "--report-file", str(rep), "--device", "numpy", *extra,
+            ],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        doc = json.loads(rep.read_text())
+        doc.pop("date", None)
+        outs[tag] = (out.read_bytes(), doc)
+    assert outs["single"][0] == outs["sharded"][0]
+    assert outs["single"][1] == outs["sharded"][1]
+    assert "dbSNPSites" in outs["sharded"][1]["totalStats"]
