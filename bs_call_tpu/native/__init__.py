@@ -16,6 +16,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_rans.cpp"),
     os.path.join(_DIR, "bsc_stats.cpp"),
     os.path.join(_DIR, "bsc_cram.cpp"),
+    os.path.join(_DIR, "bsc_emit.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -104,6 +105,10 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32
         ]
         lib.bsp_set_ref_lens.restype = None
+        lib.bsc_emit_prep.restype = None
+        lib.bsc_emit_prep.argtypes = [ctypes.c_int64] + [
+            ctypes.c_void_p
+        ] * 25
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64

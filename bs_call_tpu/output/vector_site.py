@@ -211,6 +211,61 @@ def _native_format_bcf(bcf_writer, ctg, n, g, r, flt, mac1, prf_all,
     return True
 
 
+_HET_U8 = np.ascontiguousarray(GT_HET_A, dtype=np.uint8)
+_CFLAG_U8 = np.ascontiguousarray(CFLAG_A, dtype=np.uint8)
+_GFLAG_U8 = np.ascontiguousarray(GFLAG_A, dtype=np.uint8)
+_GL_IDX_C = np.ascontiguousarray(GL_IDX, dtype=np.int32)
+_GL_LEN_C = np.ascontiguousarray(GL_LEN, dtype=np.int32)
+
+
+def _native_emit_prep(n, counts, gt_prob, g, r, mq, fs, g1, g2, g3):
+    """Per-row emit-field prep in C++ (bsc_emit.cpp): phred/QD/FS/filter
+    bits/mac1/GL/CG codes/het with the libm the C binary links. Returns
+    None when the native library is unavailable (numpy fallback)."""
+    try:
+        import ctypes
+
+        from bs_call_tpu.native import load
+
+        lib = load()
+        if lib is None:
+            return None
+    except Exception:
+        return None
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)  # noqa: E731
+    f64 = lambda a: np.ascontiguousarray(a, dtype=np.float64)  # noqa: E731
+    P = lambda a: a.ctypes.data_as(ctypes.c_void_p)  # noqa: E731
+    ins = dict(
+        counts=i32(counts), gp=f64(gt_prob), g=i32(g), r=i32(r),
+        mq=i32(mq), fs=f64(fs), g1=i32(g1), g2=i32(g2), g3=i32(g3),
+    )
+    phred = np.empty(n, np.int64)
+    dp1 = np.empty(n, np.int64)
+    qd = np.empty(n, np.int64)
+    fs_int = np.empty(n, np.int64)
+    flt = np.empty(n, np.int64)
+    mac1 = np.empty(n, np.uint8)
+    gl_vals = np.empty((n, 5), np.float32)
+    gl_len = np.empty(n, np.int32)
+    cg_code = np.empty(n, np.int64)
+    cond_cg = np.empty(n, np.uint8)
+    het = np.empty(n, np.uint8)
+    lib.bsc_emit_prep(
+        ctypes.c_int64(n),
+        P(ins["counts"]), P(ins["gp"]), P(ins["g"]), P(ins["r"]),
+        P(ins["mq"]), P(ins["fs"]), P(ins["g1"]), P(ins["g2"]),
+        P(ins["g3"]),
+        P(_GL_IDX_C), P(_GL_LEN_C), P(_HET_U8), P(_CFLAG_U8),
+        P(_GFLAG_U8),
+        P(phred), P(dp1), P(qd), P(fs_int), P(flt), P(mac1),
+        P(gl_vals), P(gl_len), P(cg_code), P(cond_cg), P(het),
+    )
+    return (
+        phred, dp1, qd, fs_int, flt, mac1.astype(bool), gl_vals,
+        gl_len, cg_code, cond_cg.astype(bool), het.astype(bool),
+    )
+
+
 def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
                    phred, dp1, mq, qd, gl_vals, gl_len, c, q8, cond_cg,
                    cg_code, het, fs_int, pos_e, rs_ids) -> bool:
@@ -373,96 +428,112 @@ class VectorBlockEmitter:
         fs = soa["fs"][idx]
         n = len(idx)
 
-        # phred (print_vcf.c:140-148) with libm boundary rescue
-        z = gt_prob[np.arange(n), g]
-        z1 = np.exp(z * LOG10)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            # pf is inf (and frac NaN) where z1 saturates to 1; those
-            # rows are overridden by the z1 >= 1 masks below
-            pf = -10.0 * np.log(1.0 - np.minimum(z1, 1.0 - 1e-300)) / LOG10
-            phred = np.where(
-                z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255)
-            )
-            frac = pf - np.floor(pf)
-        bnd = np.nonzero(
-            (z1 < 1.0)
-            & ((frac < 1e-9) | (frac > 1.0 - 1e-9) | (z1 > 1.0 - 1e-12))
-        )[0]
-        for j in bnd:
-            zz1 = math.exp(float(z[j]) * LOG10)
-            if zz1 >= 1.0:
-                phred[j] = 255
-            else:
-                phred[j] = min(
-                    255, int(-10.0 * math.log(1.0 - zz1) / LOG10)
-                )
-        phred = phred.astype(np.int64)
-
-        dp1 = counts[:, :4].sum(axis=1)
-        fs_int = np.trunc(-fs * 10.0 + 0.5).astype(np.int64)
-        qd = np.where(dp1 > 0, phred // np.maximum(dp1, 1), phred)
-        flt = (
-            (phred < 20).astype(np.int64)
-            | ((qd < 2).astype(np.int64) << 1)
-            | ((fs_int > 60).astype(np.int64) << 2)
-            | ((mq < 40).astype(np.int64) << 3)
-        )
-        # mac1 (print_vcf.c:192-212)
-        c = counts
-        mac1 = np.zeros(n, dtype=bool)
-        for gv, (sa, sb) in {
-            1: ((1, 5, 7), (0, 4)),
-            2: ((2, 6), (0,)),
-            3: ((3, 7), (0, 4)),
-            5: ((2, 6, 4), (1, 5, 7)),
-            6: ((3,), (1, 5)),
-            8: ((3, 7), (2, 6, 4)),
-        }.items():
-            m = g == gv
-            if m.any():
-                mac1[m] = (c[m][:, list(sa)].sum(axis=1) <= 1) | (
-                    c[m][:, list(sb)].sum(axis=1) <= 1
-                )
-        mac1 &= flt == 0
-
-        # GL values (float32-rounded for %g formatting)
-        gl_idx = GL_IDX[g, r]  # [n, 5]
-        gl_len = GL_LEN[g, r]
-        safe = np.maximum(gl_idx, 0)
-        gl_vals = gt_prob[np.arange(n)[:, None], safe]
-        gl_vals = np.maximum(gl_vals, -99.999)
-        gl_vals = np.where(gl_idx == -2, -99.999, gl_vals)
-        gl_vals = gl_vals.astype(np.float32)
-
-        # CpG status automaton (print_vcf.c:227-266), vectorized
         g1 = g5[idx, 1]
         g2 = g5[idx, 2]
         g3 = g5[idx, 3]
-        g1c = np.maximum(g1 - 1, 0)
-        g3c = np.maximum(g3 - 1, 0)
-
-        def hn(neigh, neigh_flag):
-            return np.where(
-                neigh > 0, np.where(neigh_flag, 72, 78), 63
-            )  # 'H','N','?'
-
-        cg_code = np.full(n, ord("."), dtype=np.int64)
-        cond_cg = ((g2 == 5) & (g3 == 8)) | ((g2 == 8) & (g1 == 5))
-        cond_c = g2 == 5
-        cond_g = g2 == 8
-        cond_cf = CFLAG_A[g]
-        cond_gf = GFLAG_A[g]
-        branch_c = hn(g3, GFLAG_A[g3c])
-        branch_g = hn(g1, CFLAG_A[g1c])
-        branch_gf = np.where(
-            g1 > 0, np.where(CFLAG_A[g1c], 72, 78), ord(".")
+        prep = _native_emit_prep(
+            n, counts, gt_prob, g, r, mq, fs, g1, g2, g3
         )
-        # 'CG' is two chars; cond_cg rows override the code below
-        cg_code = np.select(
-            [cond_cg, cond_c, cond_g, cond_cf, cond_gf],
-            [ord("G"), branch_c, branch_g, branch_c, branch_gf],
-            ord("."),
-        )
+        if prep is not None:
+            (phred, dp1, qd, fs_int, flt, mac1, gl_vals, gl_len,
+             cg_code, cond_cg, het_arr) = prep
+            c = counts
+        else:
+            het_arr = None
+            # phred (print_vcf.c:140-148) with libm boundary rescue
+            z = gt_prob[np.arange(n), g]
+            z1 = np.exp(z * LOG10)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # pf is inf (and frac NaN) where z1 saturates to 1;
+                # those rows are overridden by the z1 >= 1 masks below
+                pf = (
+                    -10.0
+                    * np.log(1.0 - np.minimum(z1, 1.0 - 1e-300))
+                    / LOG10
+                )
+                phred = np.where(
+                    z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255)
+                )
+                frac = pf - np.floor(pf)
+            bnd = np.nonzero(
+                (z1 < 1.0)
+                & (
+                    (frac < 1e-9)
+                    | (frac > 1.0 - 1e-9)
+                    | (z1 > 1.0 - 1e-12)
+                )
+            )[0]
+            for j in bnd:
+                zz1 = math.exp(float(z[j]) * LOG10)
+                if zz1 >= 1.0:
+                    phred[j] = 255
+                else:
+                    phred[j] = min(
+                        255, int(-10.0 * math.log(1.0 - zz1) / LOG10)
+                    )
+            phred = phred.astype(np.int64)
+
+            dp1 = counts[:, :4].sum(axis=1)
+            fs_int = np.trunc(-fs * 10.0 + 0.5).astype(np.int64)
+            qd = np.where(dp1 > 0, phred // np.maximum(dp1, 1), phred)
+            flt = (
+                (phred < 20).astype(np.int64)
+                | ((qd < 2).astype(np.int64) << 1)
+                | ((fs_int > 60).astype(np.int64) << 2)
+                | ((mq < 40).astype(np.int64) << 3)
+            )
+            # mac1 (print_vcf.c:192-212)
+            c = counts
+            mac1 = np.zeros(n, dtype=bool)
+            for gv, (sa, sb) in {
+                1: ((1, 5, 7), (0, 4)),
+                2: ((2, 6), (0,)),
+                3: ((3, 7), (0, 4)),
+                5: ((2, 6, 4), (1, 5, 7)),
+                6: ((3,), (1, 5)),
+                8: ((3, 7), (2, 6, 4)),
+            }.items():
+                m = g == gv
+                if m.any():
+                    mac1[m] = (c[m][:, list(sa)].sum(axis=1) <= 1) | (
+                        c[m][:, list(sb)].sum(axis=1) <= 1
+                    )
+            mac1 &= flt == 0
+
+            # GL values (float32-rounded for %g formatting)
+            gl_idx = GL_IDX[g, r]  # [n, 5]
+            gl_len = GL_LEN[g, r]
+            safe = np.maximum(gl_idx, 0)
+            gl_vals = gt_prob[np.arange(n)[:, None], safe]
+            gl_vals = np.maximum(gl_vals, -99.999)
+            gl_vals = np.where(gl_idx == -2, -99.999, gl_vals)
+            gl_vals = gl_vals.astype(np.float32)
+
+            # CpG status automaton (print_vcf.c:227-266), vectorized
+            g1c = np.maximum(g1 - 1, 0)
+            g3c = np.maximum(g3 - 1, 0)
+
+            def hn(neigh, neigh_flag):
+                return np.where(
+                    neigh > 0, np.where(neigh_flag, 72, 78), 63
+                )  # 'H','N','?'
+
+            cond_cg = ((g2 == 5) & (g3 == 8)) | ((g2 == 8) & (g1 == 5))
+            cond_c = g2 == 5
+            cond_g = g2 == 8
+            cond_cf = CFLAG_A[g]
+            cond_gf = GFLAG_A[g]
+            branch_c = hn(g3, GFLAG_A[g3c])
+            branch_g = hn(g1, CFLAG_A[g1c])
+            branch_gf = np.where(
+                g1 > 0, np.where(CFLAG_A[g1c], 72, 78), ord(".")
+            )
+            # 'CG' is two chars; cond_cg rows override the code below
+            cg_code = np.select(
+                [cond_cg, cond_c, cond_g, cond_cf, cond_gf],
+                [ord("G"), branch_c, branch_g, branch_c, branch_gf],
+                ord("."),
+            )
 
         # context strings
         prf_bytes = PBASE_B[rf7[idx, :5]]
@@ -471,7 +542,7 @@ class VectorBlockEmitter:
         ctx_all = ctx_bytes.tobytes().decode()
 
         pos_e = pos[idx]
-        het = GT_HET_A[g]
+        het = het_arr if het_arr is not None else GT_HET_A[g]
         # rs IDs for emitted rows
         rs_ids = None
         if rs_present is not None:
