@@ -137,3 +137,51 @@ def _sizes_file(tmp_path, ref):
         for i in range(4):
             f.write(f"chr{i + 1}\t40\n")
     return str(p)
+
+
+def test_concat_cli(tmp_path):
+    """python -m bs_call_tpu.concat merges per-host outputs into the
+    single-process bytes (VCF and BCF), regardless of argument order."""
+    ref, bam = _fixture(tmp_path)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    env["BS_CALL_PLATFORM"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+
+    for ext, otype in (("vcf", "v"), ("bcf", "u")):
+        single = tmp_path / f"single.{ext}"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "bs_call_tpu.cli", bam, "-r", ref,
+                "-o", str(single), "--benchmark-mode", "--device",
+                "numpy", "-O", otype,
+                "-s", _sizes_file(tmp_path, ref),
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        host_files = []
+        for hid in range(2):
+            out = tmp_path / f"h{hid}.{ext}"
+            host_files.append(str(out))
+            r = subprocess.run(
+                [
+                    sys.executable, "-m", "bs_call_tpu.cli", bam,
+                    "-r", ref, "-o", str(out), "--benchmark-mode",
+                    "--device", "numpy", "-O", otype,
+                    "--num-hosts", "2", "--host-id", str(hid),
+                ],
+                env=env, capture_output=True, text=True, timeout=300,
+            )
+            assert r.returncode == 0, r.stderr[-1500:]
+        merged = tmp_path / f"merged.{ext}"
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "bs_call_tpu.concat",
+                host_files[1], host_files[0],  # deliberately reversed
+                "-o", str(merged), "-O", otype,
+            ],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        assert merged.read_bytes() == single.read_bytes()
