@@ -693,18 +693,25 @@ class VectorBlockEmitter:
         # per-coverage variant counts
         for d, cnt in zip(*np.unique(dp[is_var], return_counts=True)):
             stats.cov_stats[int(d)].var += int(cnt)
-        # QC distributions
-        for dct, vals in (
-            (stats.qd_stats, qd),
-            (stats.fs_stats, fs_int),
-            (stats.mq_stats, mq),
+        # QC distributions: qd/mq are bounded (<=255) -> one bincount
+        # each; fs is unbounded -> unique
+        for dct, vals, bounded in (
+            (stats.qd_stats, qd, True),
+            (stats.fs_stats, fs_int, False),
+            (stats.mq_stats, mq, True),
         ):
             key = vals.astype(np.int64) * 2 + het
-            for k, cnt in zip(*np.unique(key, return_counts=True)):
-                dct[int(k) // 2][int(k) % 2] += int(cnt)
+            if bounded:
+                bc = np.bincount(key)
+                for k in np.nonzero(bc)[0]:
+                    dct[int(k) // 2][int(k) % 2] += int(bc[k])
+            else:
+                for k, cnt in zip(*np.unique(key, return_counts=True)):
+                    dct[int(k) // 2][int(k) % 2] += int(cnt)
         key = het.astype(np.int64) * 32 + (flt_full & 31)
-        for k, cnt in zip(*np.unique(key, return_counts=True)):
-            stats.filter_counts[int(k) // 32][int(k) % 32] += int(cnt)
+        bc = np.bincount(key, minlength=64)
+        for k in np.nonzero(bc)[0]:
+            stats.filter_counts[int(k) // 32][int(k) % 32] += int(bc[k])
         stats.qual[0] += np.bincount(phred, minlength=256).astype(np.int64)
         if rs_present is not None:
             rsp = rs_present[idx]
@@ -801,8 +808,10 @@ class VectorBlockEmitter:
             (stats.mut_counts, mv),
             (stats.dbSNP_mut_counts, mv & rsp),
         ):
-            for k, cnt in zip(*np.unique(mut[cond], return_counts=True)):
-                arr[int(k)][0] += int(cnt)
-            pc = cond & passed
-            for k, cnt in zip(*np.unique(mut[pc], return_counts=True)):
-                arr[int(k)][1] += int(cnt)
+            bc = np.bincount(mut[cond], minlength=13)
+            pc = np.bincount(mut[cond & passed], minlength=13)
+            for k in range(12):
+                if bc[k]:
+                    arr[k][0] += int(bc[k])
+                if pc[k]:
+                    arr[k][1] += int(pc[k])

@@ -178,9 +178,17 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    devs = np.array(jax.devices())
+    # run the merge on the CPU backend when it exists: the vectors carry
+    # float64 grids (methylation posteriors), which the TPU compiler
+    # cannot execute (f64 hangs on v5e), and a host-side stats merge
+    # belongs on DCN anyway
+    try:
+        devs = np.array(jax.devices("cpu"))
+        n_local = len(jax.local_devices(backend="cpu"))
+    except RuntimeError:
+        devs = np.array(jax.devices())
+        n_local = len(jax.local_devices())
     mesh = Mesh(devs, ("hosts",))
-    n_local = len(jax.local_devices())
     keys = sorted(vecs)
     args = []
     for k in keys:
