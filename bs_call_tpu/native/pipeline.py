@@ -65,7 +65,10 @@ class NativePipeline:
             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         )
         if ok == -1:
-            raise ValueError("corrupt alignment stream (truncated input)")
+            raise ValueError(
+                "corrupt or unsorted alignment stream (input must be "
+                "coordinate-sorted)"
+            )
         if ok != 1:
             return None
         return self._collect_block()
@@ -250,7 +253,8 @@ class NativePushPipeline(NativePipeline):
                 return self._collect_block()
             if rc == -1:
                 raise ValueError(
-                    "corrupt alignment stream (truncated input)"
+                    "corrupt or unsorted alignment stream (input must "
+                    "be coordinate-sorted)"
                 )
             if rc == 0:
                 return None

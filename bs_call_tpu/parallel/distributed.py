@@ -175,7 +175,6 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     rides the jax.distributed transport — ICI/DCN on a pod, gloo on
     CPU)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     # run the merge on the CPU backend when it exists: the vectors carry

@@ -87,6 +87,8 @@ def read_blocks(
     start_pos = 0
     curr_pos = 0
     start_idx = 0
+    last_start = 0
+    last_region = None
     block_region = None  # region of the first record in the current block
 
     def flush(tid: int) -> Optional[Block]:
@@ -188,6 +190,19 @@ def read_blocks(
         else:
             ml = al.forward_position + al.reference_span[0]
             st = al.forward_position
+        # sortedness enforcement (matches the native builder): a backward
+        # jump within one contig+region is corrupt/unsorted input and
+        # would otherwise build garbage blocks
+        rec_region = getattr(rec, "region", None)
+        if new_contig or rec_region is not last_region:
+            last_start = 0
+            last_region = rec_region
+        if last_start and st < last_start:
+            raise ValueError(
+                "corrupt or unsorted alignment stream (input must be "
+                "coordinate-sorted)"
+            )
+        last_start = st
         if ml > max_pos:
             max_pos = ml
         if start_pos == 0 or start_pos > st:

@@ -139,8 +139,8 @@ def test_native_sam_text_parser(tmp_path):
             f"r{i}\t0\tchr1\t{pos}\t60\t12M\t=\t0\t0\t"
             f"{seq[pos - 1 : pos + 11]}\t{q}{aux}"
         )
-    # star qual + star cigar (unmapped-ish but mapped flag 0 w/o cigar)
-    lines.append(f"s1\t0\tchr1\t3\t50\t12M\t*\t0\t0\t{seq[2:14]}\t*")
+    # star qual (kept sorted: input must be coordinate-sorted)
+    lines.append(f"s1\t0\tchr1\t25\t50\t12M\t*\t0\t0\t{seq[24:36]}\t*")
     # CRLF line ending + unknown contig (skipped consistently)
     sam_text = "\r\n".join(lines) + "\n"
     plain = tmp_path / "in.sam"
@@ -175,3 +175,47 @@ def test_native_sam_text_parser(tmp_path):
     assert outs[0] == outs[1], "native SAM parse != Python SAM parse"
     assert outs[0] == outs[2], "gzip SAM != plain SAM"
     assert b"chr1" in outs[0]
+
+
+def test_unsorted_input_rejected_both_paths(tmp_path):
+    """Unsorted input raises the same clean error from the native and
+    Python block builders."""
+    import io
+
+    import pytest
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.native.pipeline import NativeSamPipeline
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    seq = "ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\n" + seq + "\n")
+    q = "I" * 12
+    sam = tmp_path / "u.sam"
+    sam.write_text(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:40\n"
+        f"a\t0\tchr1\t20\t60\t12M\t*\t0\t0\t{seq[19:31]}\t{q}\n"
+        f"b\t0\tchr1\t3\t60\t12M\t*\t0\t0\t{seq[2:14]}\t{q}\n"
+    )
+    for native in (True, False):
+        cfg = CallerConfig(
+            input_file=str(sam), reference_file=str(ref),
+            benchmark_mode=True, device="numpy",
+        )
+        out = io.BytesIO()
+        if native:
+            with pytest.raises(ValueError, match="unsorted"):
+                run_caller(cfg, out_fileobj=out)
+        else:
+            orig = NativeSamPipeline.__init__
+
+            def boom(self, *a, **k):
+                raise RuntimeError("disabled")
+
+            NativeSamPipeline.__init__ = boom
+            try:
+                with pytest.raises(ValueError, match="unsorted"):
+                    run_caller(cfg, out_fileobj=out)
+            finally:
+                NativeSamPipeline.__init__ = orig
