@@ -57,6 +57,7 @@ class CallEngine:
         self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
         self._exact_engine = None  # auto-mode exact engine ("f64"|"dd")
         self._exact_pos = 0  # positions processed before the race
+        self._chunk_pool = None  # chunk-dispatch thread pool (lazy)
         if cfg.device != "numpy":
             try:
                 import jax
@@ -249,10 +250,12 @@ class CallEngine:
     def _pipe_chunks(self, counts, quals, ref, dispatch, finish,
                      window: int = 3):
         """Chunked engine driver with device pipelining: up to `window`
-        chunks are in flight, so H2D transfer and device compute of chunk
-        k+1 overlap the D2H gather + host finish of chunk k (JAX async
-        dispatch does the overlapping; we just delay the blocking
-        np.asarray). Fixed chunk shape = one compiled executable."""
+        chunks are in flight, dispatched from a small thread pool —
+        JAX's async dispatch overlaps H2D/compute/D2H on accelerators,
+        and on the CPU backend two concurrently-executing chunk programs
+        use ~1.6x the cores one does (XLA:CPU does not fully parallelize
+        this elementwise graph internally). In-order drain; fixed chunk
+        shape = one compiled executable."""
         bp = self.cfg.batch_positions
         n = len(ref)
         gt_prob = np.empty((n, 10), dtype=np.float64)
@@ -261,11 +264,16 @@ class CallEngine:
         off = np.empty(n, dtype=np.float64)
         from collections import deque
 
+        if self._chunk_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._chunk_pool = ThreadPoolExecutor(max_workers=2)
+        pool = self._chunk_pool
         inflight = deque()
 
         def drain():
             s, e, fut = inflight.popleft()
-            gp, mg, mr, of = finish(fut)
+            gp, mg, mr, of = finish(fut.result())
             m = e - s
             gt_prob[s:e] = gp[:m]
             max_gt[s:e] = mg[:m]
@@ -280,7 +288,7 @@ class CallEngine:
                 ck = np.concatenate([ck, np.zeros((pad, 8), ck.dtype)])
                 qk = np.concatenate([qk, np.zeros((pad, 8), qk.dtype)])
                 rk = np.concatenate([rk, np.zeros(pad, rk.dtype)])
-            inflight.append((s, e, dispatch(ck, qk, rk)))
+            inflight.append((s, e, pool.submit(dispatch, ck, qk, rk)))
             if len(inflight) >= window:
                 drain()
         while inflight:
@@ -300,14 +308,28 @@ class CallEngine:
             mesh, fn = sharded
 
             def dispatch(ck, qk, rk):
+                # shard_positions pins placement explicitly, so this is
+                # safe from the dispatch pool threads
                 return fn(*shard_positions(mesh, ck, qk, rk))
         else:
+            # pin the device explicitly: dispatch runs on pool threads,
+            # which do NOT inherit the caller's thread-local
+            # jax.default_device (the f64 path must never land on a TPU
+            # backend — f64 hangs there)
+            dev = jax.devices(backend)[0] if backend else None
 
             def dispatch(ck, qk, rk):
-                return call_genotypes(
-                    jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk),
-                    self._params, dtype=dtype,
-                )
+                if dev is not None:
+                    args = (
+                        jax.device_put(ck, dev),
+                        jax.device_put(qk, dev),
+                        jax.device_put(rk, dev),
+                    )
+                else:
+                    args = (
+                        jnp.asarray(ck), jnp.asarray(qk), jnp.asarray(rk)
+                    )
+                return call_genotypes(*args, self._params, dtype=dtype)
 
         def finish(fut):
             return tuple(np.asarray(a) for a in fut)
