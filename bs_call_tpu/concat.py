@@ -46,12 +46,32 @@ def main(argv=None):
     else:
         ft = C.FT_VCF
 
+    # input kinds must be uniform and agree with the output encoding
+    # (this tool concatenates; it does not transcode between VCF and BCF)
+    kinds = {k for k in (_kind(p) for p in args.inputs)}
+    if None in kinds or len(kinds) != 1:
+        print(
+            "inputs must all be VCF text (.vcf/.vcf.gz) or all BCF",
+            file=sys.stderr,
+        )
+        return 1
+    kind = kinds.pop()
+    want_bcf = ft in (C.FT_BCF, C.FT_BCF_GZ)
+    if (kind == "bcf") != want_bcf:
+        print(
+            f"inputs are {kind} but the output encoding is "
+            f"{'BCF' if want_bcf else 'VCF'}; concat does not transcode "
+            "(pick a matching -O)",
+            file=sys.stderr,
+        )
+        return 1
+
     # contig order from the first input's header (uniform across inputs)
     order = _contig_order(args.inputs[0])
     if order is None:
         print(
-            f"{args.inputs[0]}: cannot read header (VCF text or raw "
-            "BCF expected)",
+            f"{args.inputs[0]}: cannot read header (VCF text or BCF "
+            "expected)",
             file=sys.stderr,
         )
         return 1
@@ -67,10 +87,35 @@ def main(argv=None):
     return 0
 
 
+def _open_auto(path):
+    import gzip
+
+    f = open(path, "rb")
+    head = f.read(2)
+    f.seek(0)
+    if head == b"\x1f\x8b":
+        return gzip.open(f)
+    return f
+
+
+def _kind(path):
+    """'bcf' | 'vcf' | None, looking through gzip/BGZF compression."""
+    try:
+        with _open_auto(path) as f:
+            head = f.read(5)
+    except OSError:
+        return None
+    if head == b"BCF\x02\x02":
+        return "bcf"
+    if head[:2] == b"##":
+        return "vcf"
+    return None
+
+
 def _contig_order(path):
     import struct
 
-    with open(path, "rb") as f:
+    with _open_auto(path) as f:
         head = f.read(5)
         f.seek(0)
         if head == b"BCF\x02\x02":
@@ -95,7 +140,7 @@ def _contig_order(path):
 def _first_rank(path, rank):
     import struct
 
-    with open(path, "rb") as f:
+    with _open_auto(path) as f:
         head = f.read(5)
         f.seek(0)
         if head == b"BCF\x02\x02":

@@ -595,7 +595,9 @@ class CramReader:
                     if n < 0:
                         raise RuntimeError("native CRAM decode error")
                     break
-                yield out.raw[:n], s_ref
+                # slice only n bytes (out.raw would copy the whole
+                # capacity, which may have grown for an earlier slice)
+                yield bytes(memoryview(out)[:n]), s_ref
                 i += 1 + s_nblocks
 
     def _decode_container(self, blocks, meta):

@@ -539,17 +539,18 @@ def main(argv=None):
         with ctx.Pool(min(threads, len(files))) as pool:
             shards = pool.map(_build_one_file, jobs)
         if not _merge_prebuilt(builder, shards):
-            # shards share a contig or disagree on prefix order: redo
-            # serially (rare; per-chromosome distributions are disjoint)
+            # shards share a contig or disagree on prefix order: re-parse
+            # per file and fold with the entry-level merge, which
+            # preserves serial dedup/prefix semantics exactly (rare;
+            # per-chromosome distributions are disjoint)
             builder = DbSnpIndexBuilder(
                 maf_limit=builder.maf_limit,
                 select_names=builder.select_names,
                 aliases=aliases,
                 header=builder.header,
             )
-            for path in files:
-                with _open_maybe_compressed(path) as f:
-                    builder.read_stream(f, args.type.lower())
+            for job in jobs:
+                builder.merge_from(_parse_one_file(job))
     else:
         for path in files:
             with _open_maybe_compressed(path) as f:

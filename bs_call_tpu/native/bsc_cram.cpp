@@ -314,21 +314,30 @@ CompHeader parse_comp_header(const uint8_t *raw, int64_t len) {
     Buf b{raw, len, 0};
     itf8(b);  // size
     int32_t nkeys = itf8(b);
+    auto need = [&](int64_t nbytes) {
+        if (nbytes < 0 || b.off + nbytes > b.len)
+            throw std::runtime_error("comp header eof");
+    };
     for (int32_t i = 0; i < nkeys; i++) {
-        if (b.off + 2 > b.len) throw std::runtime_error("eof");
+        need(2);
         char k0 = (char)b.d[b.off], k1 = (char)b.d[b.off + 1];
         b.off += 2;
         if (k0 == 'R' && k1 == 'N') {
+            need(1);
             ch.rn_preserved = b.d[b.off++] != 0;
         } else if (k0 == 'A' && k1 == 'P') {
+            need(1);
             ch.ap_delta = b.d[b.off++] != 0;
         } else if (k0 == 'R' && k1 == 'R') {
+            need(1);
             b.off++;  // reference-required flag: unused here
         } else if (k0 == 'S' && k1 == 'M') {
+            need(5);
             memcpy(ch.sub_matrix, b.d + b.off, 5);
             b.off += 5;
         } else if (k0 == 'T' && k1 == 'D') {
             int32_t ln = itf8(b);
+            need(ln);
             const uint8_t *blob = b.d + b.off;
             int64_t start = 0;
             for (int64_t p = 0; p <= ln; p++) {
@@ -350,6 +359,7 @@ CompHeader parse_comp_header(const uint8_t *raw, int64_t len) {
     itf8(b);  // size
     int32_t n = itf8(b);
     for (int32_t i = 0; i < n; i++) {
+        need(2);
         uint16_t key =
             ((uint16_t)b.d[b.off] << 8) | (uint16_t)b.d[b.off + 1];
         b.off += 2;

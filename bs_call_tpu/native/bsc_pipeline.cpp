@@ -553,6 +553,8 @@ struct Pipeline {
     bool sam_mode = false;
     std::unordered_map<std::string, int32_t> ref_ids;
     std::vector<uint8_t> sam_buf;
+    std::string sam_line;              // NUL-terminated line scratch
+    std::vector<const char *> sam_fields;
     std::vector<int64_t> ref_lens;  // per-tid contig lengths (sanity cap)
 
     void push_bytes(const uint8_t *data, size_t len) {
@@ -606,12 +608,21 @@ struct Pipeline {
     }
 
     // Convert one SAM text line to the raw BAM body layout in sam_buf.
-    bool sam_line_to_bam(const char *s, const char *end) {
-        const char *f[12];
-        int nf = 0;
-        f[nf++] = s;
-        for (const char *p = s; p < end && nf < 12; p++)
-            if (*p == '\t') f[nf++] = p + 1;
+    bool sam_line_to_bam(const char *s_in, const char *end_in) {
+        // NUL-terminated private copy: strtoll/strtof on raw buffer
+        // slices could scan past the push buffer's end for a final line
+        // without a newline
+        sam_line.assign(s_in, end_in - s_in);
+        const char *s = sam_line.c_str();
+        const char *end = s + sam_line.size();
+        // split ALL fields (a SAM record may carry many optional tags;
+        // the bisulfite strand tag is frequently not the first one)
+        sam_fields.clear();
+        sam_fields.push_back(s);
+        for (const char *p = s; p < end; p++)
+            if (*p == '\t') sam_fields.push_back(p + 1);
+        const char **f = sam_fields.data();
+        int nf = (int)sam_fields.size();
         if (nf < 11) return false;
         auto fend = [&](int i) {
             return i + 1 < nf ? f[i + 1] - 1 : end;

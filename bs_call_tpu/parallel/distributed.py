@@ -335,6 +335,7 @@ def run_multihost(
     table = None
     wrote = False
     tmp_bed = None
+    tmp_sizes = None
     try:
         if mine:
             fd, tmp_bed = tempfile.mkstemp(suffix=".bed")
@@ -342,12 +343,13 @@ def run_multihost(
                 sizes = dict(universe)
                 for name in mine:
                     bed.write(f"{name}\t0\t{sizes[name]}\n")
-            fd, tmp_sizes = tempfile.mkstemp(suffix=".sizes")
-            with os.fdopen(fd, "w") as f:
-                for name, ln in universe:
-                    f.write(f"{name}\t{ln}\n")
             cfg.contig_bed = tmp_bed
             if not cfg.contig_sizes:
+                # uniform header universe (the -s contract)
+                fd, tmp_sizes = tempfile.mkstemp(suffix=".sizes")
+                with os.fdopen(fd, "w") as f:
+                    for name, ln in universe:
+                        f.write(f"{name}\t{ln}\n")
                 cfg.contig_sizes = tmp_sizes
             if collect:
                 stats = BsStats()
@@ -377,8 +379,9 @@ def run_multihost(
             return stats, ordered, wrote
         return stats, [], wrote
     finally:
-        if tmp_bed:
-            try:
-                os.unlink(tmp_bed)
-            except OSError:
-                pass
+        for p in (tmp_bed, tmp_sizes):
+            if p:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass

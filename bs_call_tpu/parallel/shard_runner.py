@@ -211,7 +211,7 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
         # pos): workers call contigs in reconciled-table (= reference
         # faidx = global) order, so a lazy per-file stream is sorted and
         # a k-way heap merge is all that's needed — no buffering
-        with open(path, "rb") as f:
+        with _open_auto(path) as f:
             for line in f:
                 if line.startswith(b"#"):
                     if write_header:
@@ -261,6 +261,19 @@ def _chain_one(first, rest):
     yield from rest
 
 
+def _open_auto(path):
+    """Binary stream; transparently inflates gzip/BGZF inputs (so
+    .vcf.gz shards and compressed-BCF host outputs concat directly)."""
+    import gzip
+
+    f = open(path, "rb")
+    head = f.read(2)
+    f.seek(0)
+    if head == b"\x1f\x8b":
+        return gzip.open(f)
+    return f
+
+
 def _concat_bcf(paths: List[str], output: str, compressed: bool,
                 threads: int = 0):
     """Binary concat of raw-BCF shards: uniform headers (forced by the
@@ -272,10 +285,10 @@ def _concat_bcf(paths: List[str], output: str, compressed: bool,
     def _records(path):
         # stream one shard's records lazily; rid is already the global
         # contig rank (uniform headers) and shards are internally sorted
-        with open(path, "rb") as f:
+        with _open_auto(path) as f:
             head = f.read(9)
             if head[:5] != b"BCF\x02\x02":
-                raise ValueError(f"{path}: not a raw BCF shard")
+                raise ValueError(f"{path}: not a BCF shard")
             (l_text,) = struct.unpack_from("<I", head, 5)
             f.seek(l_text, 1)
             while True:
@@ -295,10 +308,10 @@ def _concat_bcf(paths: List[str], output: str, compressed: bool,
     else:
         out = raw
     try:
-        with open(paths[0], "rb") as f:
+        with _open_auto(paths[0]) as f:
             head = f.read(9)
             if head[:5] != b"BCF\x02\x02":
-                raise ValueError(f"{paths[0]}: not a raw BCF shard")
+                raise ValueError(f"{paths[0]}: not a BCF shard")
             (l_text,) = struct.unpack_from("<I", head, 5)
             out.write(head + f.read(l_text))
         for _, _, rec in heapq.merge(

@@ -233,9 +233,11 @@ class CallEngine:
             )
 
             def clock(fn):
-                fn()  # warm (compile)
+                if fn() is None:  # engine unavailable: never select it
+                    return float("inf")
                 t0 = time.perf_counter()
-                fn()
+                if fn() is None:
+                    return float("inf")
                 return time.perf_counter() - t0
 
             t_dd = clock(lambda: self._call_dd(counts, quals, ref))

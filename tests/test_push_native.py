@@ -134,7 +134,9 @@ def test_native_sam_text_parser(tmp_path):
     rng = np.random.default_rng(0)
     for i, pos in enumerate(range(1, 25)):
         q = "".join(chr(int(v) + 33) for v in rng.integers(20, 41, 12))
-        aux = "\tXB:A:C\tNM:i:0\tZZ:Z:hello\tBB:B:c,1,-2,3\tFF:f:1.5"
+        # the strand tag deliberately NOT first: every aux field must
+        # be parsed (a field cap used to drop all but the first tag)
+        aux = "\tNM:i:0\tZZ:Z:hello\tBB:B:c,1,-2,3\tXB:A:C\tFF:f:1.5"
         lines.append(
             f"r{i}\t0\tchr1\t{pos}\t60\t12M\t=\t0\t0\t"
             f"{seq[pos - 1 : pos + 11]}\t{q}{aux}"
