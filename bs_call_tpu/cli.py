@@ -145,6 +145,10 @@ def args_to_config(args) -> CallerConfig:
             cfg.input_threads = max(0, parts[1])
             cfg.output_threads = max(0, parts[2])
         elif len(parts) >= 1:
+            # a 1- or 2-part -t is NOT an explicit distribution (the
+            # reference only sets explicit_thread_distribution when all
+            # three parse, parse_args.c:144); the auto-partition below
+            # overrides any partial shares, matching the C binary
             cfg.threads = max(1, parts[0])
     if args.conversion:
         parts = args.conversion.split(",")
@@ -214,7 +218,14 @@ def _input_is_compressed(path) -> bool:
     parse_args.c:196-197); plain SAM and stdin streams do not."""
     if not path or path == "-":
         return False
+    import os
+    import stat
+
     try:
+        # only probe REGULAR files: reading from a FIFO / process
+        # substitution would consume (or block on) the caller's stream
+        if not stat.S_ISREG(os.stat(path).st_mode):
+            return False
         with open(path, "rb") as f:
             head = f.read(4)
     except OSError:
@@ -247,6 +258,14 @@ def main(argv=None):
             print(
                 "--num-hosts and --shards are mutually exclusive "
                 "(use shards within a single host)",
+                file=sys.stderr,
+            )
+            return 1
+        if cfg.input_file == "-":
+            print(
+                "--num-hosts requires a seekable input file (the header "
+                "is read once for contig assignment, then the caller "
+                "re-opens the input); cannot run from stdin",
                 file=sys.stderr,
             )
             return 1

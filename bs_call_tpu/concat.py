@@ -88,14 +88,9 @@ def main(argv=None):
 
 
 def _open_auto(path):
-    import gzip
+    from bs_call_tpu.parallel.shard_runner import _open_auto as _oa
 
-    f = open(path, "rb")
-    head = f.read(2)
-    f.seek(0)
-    if head == b"\x1f\x8b":
-        return gzip.open(f)
-    return f
+    return _oa(path)
 
 
 def _kind(path):

@@ -546,6 +546,7 @@ struct Pipeline {
     std::vector<uint8_t> pbuf;
     size_t ppos = 0;
     bool push_done = false;
+    bool push_error = false;  // dropped bytes (OOM): stream is broken
 
     // SAM text mode: pushed bytes are SAM lines; each line is converted
     // to the raw BAM body layout in sam_buf (the reference's text parse
@@ -568,6 +569,7 @@ struct Pipeline {
     // 1 = record, 0 = starved (push more / push_eof), -1 = end of
     // input, -2 = corrupt stream (fatal, "SAM input truncated" analogue)
     int next_push_record(RawRec &rec) {
+        if (push_error) return -2;
         if (sam_mode) return next_push_record_sam(rec);
         size_t avail = pbuf.size() - ppos;
         if (avail < 4) return push_done ? -1 : 0;
@@ -1555,8 +1557,10 @@ void bsp_push(void *h, const uint8_t *data, int64_t len) {
     try {
         ((Pipeline *)h)->push_bytes(data, (size_t)len);
     } catch (...) {
-        // out of memory: drop the bytes; the stream will then look
-        // truncated and next_block reports the error
+        // out of memory: bytes were dropped, so the stream is broken —
+        // flag it so next_block reports a hard error instead of a
+        // silently truncated (but clean-looking) end of input
+        ((Pipeline *)h)->push_error = true;
         ((Pipeline *)h)->push_done = true;
     }
 }

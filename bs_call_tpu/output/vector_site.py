@@ -440,38 +440,11 @@ class VectorBlockEmitter:
             c = counts
         else:
             het_arr = None
-            # phred (print_vcf.c:140-148) with libm boundary rescue
-            z = gt_prob[np.arange(n), g]
-            z1 = np.exp(z * LOG10)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                # pf is inf (and frac NaN) where z1 saturates to 1;
-                # those rows are overridden by the z1 >= 1 masks below
-                pf = (
-                    -10.0
-                    * np.log(1.0 - np.minimum(z1, 1.0 - 1e-300))
-                    / LOG10
-                )
-                phred = np.where(
-                    z1 >= 1.0, 255, np.minimum(pf.astype(np.int64), 255)
-                )
-                frac = pf - np.floor(pf)
-            bnd = np.nonzero(
-                (z1 < 1.0)
-                & (
-                    (frac < 1e-9)
-                    | (frac > 1.0 - 1e-9)
-                    | (z1 > 1.0 - 1e-12)
-                )
-            )[0]
-            for j in bnd:
-                zz1 = math.exp(float(z[j]) * LOG10)
-                if zz1 >= 1.0:
-                    phred[j] = 255
-                else:
-                    phred[j] = min(
-                        255, int(-10.0 * math.log(1.0 - zz1) / LOG10)
-                    )
-            phred = phred.astype(np.int64)
+            # phred (print_vcf.c:140-148): the vectorized libm-rescue
+            # implementation is shared with the stats path
+            from bs_call_tpu.ops.postprocess import phred_scores
+
+            phred = phred_scores(gt_prob, g).astype(np.int64)
 
             dp1 = counts[:, :4].sum(axis=1)
             fs_int = np.trunc(-fs * 10.0 + 0.5).astype(np.int64)

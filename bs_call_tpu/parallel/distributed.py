@@ -177,6 +177,12 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+    # without x64, device_put silently canonicalizes the int64 counters
+    # to int32 (a 30x-WGS filter_bases counter ~1e11 would wrap) and the
+    # f64 methylation grids to f32 — enable it before any array touches
+    # the backend
+    if not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
     # run the merge on the CPU backend when it exists: the vectors carry
     # float64 grids (methylation posteriors), which the TPU compiler
     # cannot execute (f64 hangs on v5e), and a host-side stats merge
@@ -211,7 +217,14 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         )
     )
     out = fn(*args)
-    return {k: np.asarray(o) for k, o in zip(keys, out)}
+    merged = {k: np.asarray(o) for k, o in zip(keys, out)}
+    for k in keys:
+        if merged[k].dtype != np.asarray(vecs[k]).dtype:
+            raise AssertionError(
+                f"collective changed dtype of {k}: "
+                f"{np.asarray(vecs[k]).dtype} -> {merged[k].dtype}"
+            )
+    return merged
 
 
 def merge_stats_collective(stats: BsStats, mesh=None) -> BsStats:

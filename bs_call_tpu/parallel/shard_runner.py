@@ -210,7 +210,10 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
         # each shard file is internally sorted by (global contig rank,
         # pos): workers call contigs in reconciled-table (= reference
         # faidx = global) order, so a lazy per-file stream is sorted and
-        # a k-way heap merge is all that's needed — no buffering
+        # a k-way heap merge is all that's needed — no buffering. A
+        # foreign input that is NOT internally ordered would silently
+        # merge out of order, so enforce it.
+        last = (-1, -1)
         with _open_auto(path) as f:
             for line in f:
                 if line.startswith(b"#"):
@@ -218,11 +221,17 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
                         out.write(line)
                     continue
                 fld = line.split(b"\t", 2)
-                yield (
+                key = (
                     order.get(fld[0].decode(), 1 << 30),
                     int(fld[1]),
-                    line,
                 )
+                if key < last:
+                    raise ValueError(
+                        f"{path}: records not sorted by the header's "
+                        "contig order (cannot stream-merge)"
+                    )
+                last = key
+                yield (key[0], key[1], line)
 
     try:
         if order is None:

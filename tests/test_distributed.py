@@ -76,3 +76,16 @@ def test_contig_assignment_partitions():
     for h in range(4):
         seen.extend(my_contigs(universe, 4, h))
     assert sorted(seen) == sorted(n for n, _ in universe)
+
+
+def test_collective_preserves_int64_and_float64():
+    """Big counters (>> 2^31) and f64 grids must survive the collective
+    bit-exact even when the caller never enabled x64 (device_put would
+    otherwise canonicalize int64->int32 / f64->f32)."""
+    s = BsStats()
+    s.filter_bases = np.zeros(15, dtype=np.int64)
+    s.filter_bases[0] = (1 << 35) + 7
+    s.CpG_ref_meth = np.full((2, 101), 1.0 + 2.0**-40, dtype=np.float64)
+    merged = merge_stats_collective(s)
+    assert int(merged.filter_bases[0]) == (1 << 35) + 7
+    np.testing.assert_array_equal(merged.CpG_ref_meth, s.CpG_ref_meth)
