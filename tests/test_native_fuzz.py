@@ -113,3 +113,69 @@ def test_sorted_input_enforced(tmp_path):
         while p.next_block() is not None:
             pass
     p.close()
+
+
+SAM_SCRIPT = r"""
+import sys, resource, ctypes
+import numpy as np
+resource.setrlimit(resource.RLIMIT_AS, (6 << 30, 6 << 30))
+sys.path.insert(0, %(repo)r)
+from bs_call_tpu.config import CallerConfig
+from bs_call_tpu.io.bam import BamHeader
+from bs_call_tpu.native.pipeline import NativePushPipeline
+
+hdr = BamHeader(
+    text="@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:4000\n",
+    ref_names=["chr1"], ref_lens=[4000],
+)
+rng = np.random.default_rng(%(seed)d)
+seq = "".join(rng.choice(list("ACGT"), 4000))
+lines = []
+pos = 1
+for i in range(200):
+    pos += int(rng.integers(0, 20))
+    q = "".join(chr(int(v) + 33) for v in rng.integers(20, 41, 30))
+    lines.append(
+        f"r{i}\t0\tchr1\t{pos}\t60\t30M\t*\t0\t0\t"
+        f"{seq[pos - 1:pos + 29]}\t{q}\tXB:A:C"
+    )
+sam = "\n".join(lines).encode() + b"\n"
+names = b"chr1\x00"
+
+def run_bytes(b):
+    p = NativePushPipeline(
+        lambda: iter(()), hdr, CallerConfig(), np.ones(1, np.int8)
+    )
+    p._lib.bsp_set_sam_mode(ctypes.c_void_p(p._h), names, len(names))
+    p._lib.bsp_push(ctypes.c_void_p(p._h), bytes(b),
+                    ctypes.c_int64(len(b)))
+    p._lib.bsp_push_eof(ctypes.c_void_p(p._h))
+    try:
+        while p.next_block() is not None:
+            pass
+    except ValueError:
+        pass
+    p.close()
+
+for trial in range(150):
+    b = bytearray(sam)
+    for _ in range(int(rng.integers(1, 6))):
+        b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+    run_bytes(b)
+for cut in range(0, len(sam), 41):
+    run_bytes(sam[:cut])
+for trial in range(20):
+    run_bytes(rng.integers(0, 256, int(rng.integers(10, 5000)))
+              .astype(np.uint8).tobytes())
+print("sam fuzz ok")
+"""
+
+
+@pytest.mark.parametrize("seed", [1, 11])
+def test_sam_text_fuzz(seed):
+    res = subprocess.run(
+        [sys.executable, "-c", SAM_SCRIPT % {"repo": REPO, "seed": seed}],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, (res.stdout + res.stderr)[-2000:]
+    assert "sam fuzz ok" in res.stdout
