@@ -228,6 +228,11 @@ Codec parse_codec(Buf &b) {
     Codec c;
     int32_t codec_id = itf8(b);
     int32_t nparam = itf8(b);
+    // the parameter-block length moves the cursor unconditionally at the
+    // end — a corrupt negative/oversized value would park b.off out of
+    // bounds for every later read
+    if (nparam < 0 || b.off + nparam > b.len)
+        throw std::runtime_error("bad codec param length");
     int64_t end = b.off + nparam;
     c.kind = codec_id;
     switch (codec_id) {
@@ -582,9 +587,12 @@ int64_t bsc_cram_decode_slice(
                     if (out_i + nmatch > (int64_t)r.rl)
                         throw std::runtime_error("feature overflow");
                     if (ref_codes) {
+                        // clamp both ends: corrupt positions/AP deltas
+                        // can drive ref_i negative or past the contig
+                        int64_t k0 = ref_i < 0 ? 0 : ref_i;
                         int64_t end = ref_i + nmatch;
                         if (end > ref_len) end = ref_len;
-                        for (int64_t k = ref_i; k < end; k++)
+                        for (int64_t k = k0; k < end; k++)
                             r.seq[out_i + (k - ref_i)] = ref_codes[k];
                     }
                     push_cig(r.cigar, nmatch, 0);

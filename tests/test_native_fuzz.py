@@ -179,3 +179,88 @@ def test_sam_text_fuzz(seed):
     )
     assert res.returncode == 0, (res.stdout + res.stderr)[-2000:]
     assert "sam fuzz ok" in res.stdout
+
+
+def test_cram_native_decoder_fuzz(tmp_path):
+    """Corrupt/truncated comp-header, core, and external blocks through
+    bsc_cram_decode_slice must return a clean error code, never crash
+    (parse_codec cursor jumps and negative ref positions were crashers)."""
+    import ctypes
+
+    import numpy as np
+
+    from test_cram_foreign import _fixture
+    from bs_call_tpu.io.cram import (
+        CT_CORE,
+        CT_EXTERNAL,
+        CT_SLICE_HEADER,
+        CramReader,
+        read_itf8,
+        read_ltf8,
+    )
+    from bs_call_tpu.native import load as _load
+
+    lib = _load()
+    ref, path = _fixture(tmp_path, n=150, seed=3)
+    r = CramReader(path, reference=ref)
+    blocks, meta = r._read_container()
+    while meta["n_records"] == 0:
+        blocks, meta = r._read_container()
+    ch_raw = blocks[0].data
+    i = 1
+    while blocks[i].content_type != CT_SLICE_HEADER:
+        i += 1
+    sh = blocks[i].data
+    off = 0
+    s_ref, off = read_itf8(sh, off)
+    s_start, off = read_itf8(sh, off)
+    _sp, off = read_itf8(sh, off)
+    s_nrec, off = read_itf8(sh, off)
+    _c, off = read_ltf8(sh, off)
+    s_nblocks, off = read_itf8(sh, off)
+    core = b""
+    ids, datas = [], []
+    for b in blocks[i + 1 : i + 1 + s_nblocks]:
+        if b.content_type == CT_CORE:
+            core = b.data
+        elif b.content_type == CT_EXTERNAL:
+            ids.append(b.content_id)
+            datas.append(b.data)
+    rng = np.random.default_rng(0)
+    rc_codes = np.zeros(10000, dtype=np.uint8)
+    out_cap = 1 << 22
+    out = ctypes.create_string_buffer(out_cap)
+
+    def call(ch, cr, dat):
+        blob = b"".join(dat)
+        offs = np.zeros(len(ids) + 1, np.int64)
+        offs[1:] = np.cumsum([len(x) for x in dat])
+        ids_a = np.ascontiguousarray(ids, np.int32)
+        return lib.bsc_cram_decode_slice(
+            ch, len(ch), cr, len(cr), len(ids), ids_a.ctypes.data,
+            offs.ctypes.data, blob, s_ref, s_start, s_nrec,
+            rc_codes.ctypes.data, len(rc_codes), out, out_cap,
+        )
+
+    assert call(ch_raw, core, datas) > 0
+    for which in range(3 + len(datas)):
+        for _t in range(60):
+            ch, cr, dat = ch_raw, core, list(datas)
+            if which == 0 and ch_raw:
+                b = bytearray(ch_raw)
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(256))
+                ch = bytes(b)
+            elif which == 1 and core:
+                b = bytearray(core)
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(256))
+                cr = bytes(b)
+            elif which == 2:
+                ch = ch_raw[: int(rng.integers(0, len(ch_raw)))]
+            else:
+                k = which - 3
+                if not datas[k]:
+                    continue
+                b = bytearray(datas[k])
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(256))
+                dat[k] = bytes(b)
+            assert call(ch, cr, dat) >= -2
