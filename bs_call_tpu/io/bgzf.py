@@ -167,3 +167,144 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes:
     w.write(data)
     w.close()
     return out.getvalue()
+
+
+def _parse_block_header(head: bytes) -> int:
+    """Total compressed size of the BGZF block whose first 18+ bytes are
+    `head`, or -1 if it is not a BGZF block. Walks the FEXTRA subfields
+    for BC (htslib writes it first, but the spec doesn't require it)."""
+    if len(head) < 18 or head[:2] != b"\x1f\x8b" or not head[3] & 4:
+        return -1
+    xlen = struct.unpack_from("<H", head, 10)[0]
+    off = 12
+    end = 12 + xlen
+    while off + 4 <= min(end, len(head)):
+        si1, si2, slen = head[off], head[off + 1], struct.unpack_from(
+            "<H", head, off + 2
+        )[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:  # 'B','C'
+            if off + 6 > len(head):
+                return -1
+            return struct.unpack_from("<H", head, off + 4)[0] + 1
+        off += 4 + slen
+    return -1
+
+
+def load_gzi(path: str):
+    """Read an htslib .gzi block index: [u64 n][n x (u64 coff, u64 uoff)]
+    (the first block at (0,0) is implicit). Returns (coffs, uoffs) lists
+    including the implicit first entry."""
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        raw = f.read(16 * n)
+    coffs, uoffs = [0], [0]
+    for i in range(n):
+        c, u = struct.unpack_from("<QQ", raw, 16 * i)
+        coffs.append(c)
+        uoffs.append(u)
+    return coffs, uoffs
+
+
+def write_gzi(path: str, coffs, uoffs):
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(coffs) - 1))
+        for c, u in zip(coffs[1:], uoffs[1:]):
+            f.write(struct.pack("<QQ", c, u))
+
+
+def build_gzi(path: str):
+    """Build the block index by walking BGZF headers (no inflation):
+    each member's ISIZE trailer gives its uncompressed length."""
+    coffs, uoffs = [0], [0]
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        fsize = f.tell()
+        coff = uoff = 0
+        while coff < fsize:
+            f.seek(coff)
+            head = f.read(18)
+            bsize = _parse_block_header(head)
+            if bsize < 0 or coff + bsize > fsize:
+                raise ValueError(f"{path}: corrupt BGZF block at {coff}")
+            f.seek(coff + bsize - 4)
+            (isize,) = struct.unpack("<I", f.read(4))
+            coff += bsize
+            uoff += isize
+            if isize == 0 and coff >= fsize:
+                break  # EOF block
+            coffs.append(coff)
+            uoffs.append(uoff)
+    # drop the trailing entry that points past the last payload block
+    if len(coffs) > 1 and coffs[-1] >= fsize:
+        coffs.pop()
+        uoffs.pop()
+    return coffs, uoffs
+
+
+class BgzfRandomReader:
+    """Random access into a BGZF file by uncompressed offset — htslib's
+    `bgzf_useek` (the reference reads bgzipped FASTA through it,
+    read_reference.c:60-87). Uses the .gzi block index when present
+    (writing one back otherwise, best-effort) and caches the last
+    inflated block for sequential scans."""
+
+    def __init__(self, path: str):
+        self.path = path
+        import os
+
+        gzi = path + ".gzi"
+        if os.path.exists(gzi):
+            self._coffs, self._uoffs = load_gzi(gzi)
+        else:
+            self._coffs, self._uoffs = build_gzi(path)
+            try:
+                write_gzi(gzi, self._coffs, self._uoffs)
+            except OSError:
+                pass
+        self._f = open(path, "rb")
+        self._cache_i = -1
+        self._cache = b""
+
+    def close(self):
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _block(self, i: int) -> bytes:
+        if i == self._cache_i:
+            return self._cache
+        self._f.seek(self._coffs[i])
+        head = self._f.read(18)
+        bsize = _parse_block_header(head)
+        if bsize < 0:
+            raise ValueError(
+                f"{self.path}: corrupt BGZF block at {self._coffs[i]}"
+            )
+        body = head + self._f.read(bsize - 18)
+        data = zlib.decompress(body, wbits=31)
+        self._cache_i, self._cache = i, data
+        return data
+
+    def read_at(self, uoffset: int, length: int) -> bytes:
+        """Read `length` uncompressed bytes starting at `uoffset`."""
+        import bisect
+
+        out = []
+        need = length
+        i = bisect.bisect_right(self._uoffs, uoffset) - 1
+        pos = uoffset
+        while need > 0 and i < len(self._coffs):
+            data = self._block(i)
+            skip = pos - self._uoffs[i]
+            take = data[skip : skip + need]
+            if not take and not data:
+                break  # EOF block
+            out.append(take)
+            need -= len(take)
+            pos += len(take)
+            i += 1
+        return b"".join(out)

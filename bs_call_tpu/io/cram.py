@@ -424,9 +424,17 @@ def _encode_tag_bam(tag: str, typ: str, val: bytes) -> bytes:
 
 
 class CramReader:
-    def __init__(self, path: str, reference: Optional[str] = None):
-        with open(path, "rb") as f:
-            self._raw = f.read()
+    def __init__(self, path: Optional[str] = None,
+                 reference: Optional[str] = None, fileobj=None):
+        if fileobj is not None:
+            # stdin / pipe input (hts_open("-") auto-detects CRAM,
+            # process.c:112-137): CRAM needs whole-container access, so
+            # the pipe is drained into memory
+            self._raw = fileobj.read()
+            path = path or "<stream>"
+        else:
+            with open(path, "rb") as f:
+                self._raw = f.read()
         if self._raw[:4] != MAGIC:
             raise ValueError(f"{path}: not a CRAM file")
         self.major = self._raw[4]

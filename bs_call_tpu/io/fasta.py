@@ -47,8 +47,12 @@ class ContigSeq:
 
 
 def build_fai(path: str) -> List[FaiEntry]:
+    """Scan the FASTA (plain or BGZF; offsets are uncompressed-byte
+    offsets either way, as in htslib's .fai) and build the index."""
+    from bs_call_tpu.io.bgzf import open_reader
+
     entries = []
-    with open(path, "rb") as f:
+    with open_reader(path) as f:
         name = None
         length = 0
         offset = 0
@@ -100,11 +104,28 @@ def write_fai(entries: List[FaiEntry], path: str):
 
 
 class FastaIndex:
-    """fai-indexed FASTA reader (plain text; bgzip FASTA unsupported for
-    now — the reference requires the .fai too, parse_args.c:219-229)."""
+    """fai-indexed FASTA reader: plain text, or bgzip-compressed with a
+    .gzi block index (built on demand when absent) — htslib's
+    BGZF-backed faidx that the reference reads the genome through
+    (read_reference.c:60-87, parse_args.c:219-229). Plain (non-blocked)
+    gzip is rejected, as htslib does: it cannot be random-accessed."""
 
     def __init__(self, path: str):
+        from bs_call_tpu.io.bgzf import is_bgzf, is_gzip
+
         self.path = path
+        self._rr = None
+        self._bgzf = False
+        if is_gzip(path):
+            if not is_bgzf(path):
+                raise ValueError(
+                    f"{path}: plain gzip FASTA cannot be indexed; "
+                    "recompress with bgzip"
+                )
+            self._bgzf = True
+            from bs_call_tpu.io.bgzf import BgzfRandomReader
+
+            self._rr = BgzfRandomReader(path)
         fai = path + ".fai"
         if os.path.exists(fai):
             self.entries = load_fai(fai)
@@ -137,9 +158,14 @@ class FastaIndex:
             if nlines
             else 0
         )
-        with open(self.path, "rb") as f:
-            f.seek(e.offset)
-            raw = np.frombuffer(f.read(span), dtype=np.uint8)
+        if self._bgzf:
+            raw = np.frombuffer(
+                self._rr.read_at(e.offset, span), dtype=np.uint8
+            )
+        else:
+            with open(self.path, "rb") as f:
+                f.seek(e.offset)
+                raw = np.frombuffer(f.read(span), dtype=np.uint8)
         # Keep printable characters only (read_reference.c:71 isgraph check)
         graph = raw[_ISGRAPH[raw]]
         codes = _BASE2CODE[graph[: e.length]]

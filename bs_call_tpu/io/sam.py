@@ -190,6 +190,10 @@ def open_alignment_file(
     if path == "-":
         buf = iomod.BufferedReader(sys.stdin.buffer)
         head = buf.peek(4)[:4]
+        if head == b"CRAM":
+            from bs_call_tpu.io.cram import CramReader
+
+            return CramReader(fileobj=buf, reference=reference)
         if head[:2] == b"\x1f\x8b":
             gz = gzip.GzipFile(fileobj=buf)
             # BAM = gzip(BGZF)-wrapped binary with BAM\1 magic; stream it

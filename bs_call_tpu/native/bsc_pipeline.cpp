@@ -605,7 +605,10 @@ struct Pipeline {
                 parse_raw(sam_buf.data(), (uint32_t)sam_buf.size(), rec);
                 return 1;
             }
-            // malformed line: skipped
+            // malformed mandatory field: fatal, like the BAM corrupt
+            // path (the reference's htslib parser aborts on bad SAM) —
+            // silently dropping a record would silently change outputs
+            return -2;
         }
     }
 
@@ -669,6 +672,11 @@ struct Pipeline {
                 if (n) return false;
             }
         }
+        // BAM framing limits: n_cigar is a u16 and mapq a u8 — values
+        // beyond them would silently wrap and mis-frame seq/qual offsets
+        if (cig.size() > 0xFFFF || mapq < 0 || mapq > 255 ||
+            flag < 0 || flag > 0xFFFF)
+            return false;
         const char *seq = f[9], *seq_e = fend(9);
         int32_t l_seq =
             (seq_e - seq == 1 && *seq == '*') ? 0 : (int32_t)(seq_e - seq);

@@ -11,8 +11,9 @@ including the 2-position lag pipeline quirks:
   - reference-context truncation at the first N (strncpy semantics) with
     block-edge windows fixed up scalar (first two and last two positions).
 
-Used for text output without stats/dbSNP; other configurations run the
-scalar emitter (the behavioral reference implementation).
+The runner hands this emitter stats, dbSNP and (for BCF outputs) a
+BcfWriter, so it serves every output type; small or edge blocks still run
+the scalar SiteEmitter (the behavioral reference implementation).
 """
 
 from __future__ import annotations

@@ -191,8 +191,14 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         devs = np.array(jax.devices("cpu"))
         n_local = len(jax.local_devices(backend="cpu"))
     except RuntimeError:
-        devs = np.array(jax.devices())
-        n_local = len(jax.local_devices())
+        # never fall back to the accelerator: the payload carries f64
+        # grids and an f64 collective HANGS on TPU (v5e) — a silent
+        # freeze is strictly worse than a clear error
+        raise RuntimeError(
+            "stats merge needs a CPU jax backend (the payload carries "
+            "float64 grids, which TPU cannot execute); this process has "
+            "none — unpin JAX_PLATFORMS / allow the cpu plugin"
+        )
     mesh = Mesh(devs, ("hosts",))
     keys = sorted(vecs)
     args = []

@@ -279,7 +279,10 @@ def _open_auto(path):
     head = f.read(2)
     f.seek(0)
     if head == b"\x1f\x8b":
-        return gzip.open(f)
+        # reopen by path: a GzipFile wrapping an open fileobj does not
+        # close the underlying handle, leaking one fd per shard
+        f.close()
+        return gzip.open(path, "rb")
     return f
 
 
@@ -306,6 +309,11 @@ def _concat_bcf(paths: List[str], output: str, compressed: bool,
                     return
                 ls, li = struct.unpack("<II", sizes)
                 body = f.read(ls + li)
+                if len(body) != ls + li:
+                    raise ValueError(
+                        f"{path}: truncated BCF shard (record claims "
+                        f"{ls + li} bytes, got {len(body)})"
+                    )
                 rid, pos = struct.unpack_from("<ii", body, 0)
                 yield (rid, pos, sizes + body)
 

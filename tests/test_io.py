@@ -3,6 +3,7 @@
 import gzip
 
 import numpy as np
+import pytest
 
 from bs_call_tpu.io.bam import (
     BamHeader,
@@ -143,3 +144,81 @@ def test_fasta_gc_bins(tmp_path):
     idx = FastaIndex(str(p))
     ctg = idx.load_contig("c", calc_gc=True)
     np.testing.assert_array_equal(ctg.gc_bins, [100, 0, 100])
+
+
+def test_bgzip_fasta(tmp_path):
+    """bgzip-compressed reference: FastaIndex reads it through the .gzi
+    block index (htslib's BGZF-backed faidx, read_reference.c:60-87) and
+    a CLI-style run over it is byte-identical to the plain-text run."""
+    import io as _io
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.io.bgzf import BgzfWriter
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    rng = np.random.default_rng(7)
+    seq1 = "".join("ACGT"[i] for i in rng.integers(0, 4, 150_000))
+    seq2 = "".join("ACGT"[i] for i in rng.integers(0, 4, 7_000))
+    text = (
+        ">chr1\n"
+        + "\n".join(seq1[i : i + 60] for i in range(0, len(seq1), 60))
+        + "\n>chr2\n"
+        + "\n".join(seq2[i : i + 60] for i in range(0, len(seq2), 60))
+        + "\n"
+    )
+    plain = tmp_path / "ref.fa"
+    plain.write_text(text)
+    gz = tmp_path / "refz.fa.gz"
+    with open(gz, "wb") as f:
+        w = BgzfWriter(f)
+        w.write(text.encode())
+        w.close()
+    ia, ib = FastaIndex(str(plain)), FastaIndex(str(gz))
+    assert (tmp_path / "refz.fa.gz.gzi").exists()
+    for name in ("chr1", "chr2"):
+        np.testing.assert_array_equal(
+            ia.load_contig(name).codes, ib.load_contig(name).codes
+        )
+    # .gzi reload path (index already on disk)
+    ic = FastaIndex(str(gz))
+    np.testing.assert_array_equal(
+        ia.load_contig("chr1").codes, ic.load_contig("chr1").codes
+    )
+    # plain gzip is not random-accessible: reject like htslib
+    import gzip as _gzip
+
+    pg = tmp_path / "plain.fa.gz"
+    with _gzip.open(pg, "wb") as f:
+        f.write(text.encode())
+    with pytest.raises(ValueError, match="bgzip"):
+        FastaIndex(str(pg))
+    # CLI-equivalent byte identity on a real run
+    from bs_call_tpu.io.bam import BamHeader, BamWriter
+
+    hdr = BamHeader(
+        text=(
+            "@HD\tVN:1.6\tSO:coordinate\n"
+            "@SQ\tSN:chr1\tLN:150000\n@SQ\tSN:chr2\tLN:7000\n"
+        ),
+        ref_names=["chr1", "chr2"],
+        ref_lens=[150_000, 7_000],
+    )
+    bam = tmp_path / "in.bam"
+    w = BamWriter(str(bam), hdr)
+    quals = np.full(50, 40, dtype=np.uint8)
+    for n, pos in enumerate(range(0, 3000, 7)):
+        w.write(
+            f"r{n}", 0, 0, pos, 60, [(50, 0)], -1, -1, 0,
+            seq1[pos : pos + 50], quals,
+        )
+    w.close()
+    outs = []
+    for ref in (plain, gz):
+        cfg = CallerConfig(
+            input_file=str(bam), reference_file=str(ref),
+            sample_name="s", benchmark_mode=True, all_positions=False,
+        )
+        buf = _io.BytesIO()
+        run_caller(cfg, out_fileobj=buf)
+        outs.append(buf.getvalue())
+    assert outs[0] == outs[1] and outs[0].count(b"\n") > 100

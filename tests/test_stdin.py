@@ -95,3 +95,44 @@ def test_stdin_bam_native_run_matches_file(tmp_path, monkeypatch):
         reps.append(r.getvalue())
     assert outs[0] == outs[1]
     assert reps[0] == reps[1]
+
+
+def test_stdin_cram_matches_file(tmp_path, monkeypatch):
+    """`cat in.cram | bs_call -` must match the file-input run — the
+    reference's hts_open("-") auto-detects CRAM (process.c:112-137)."""
+    import io as iomod
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.io.cram_writer import CramWriter
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    path, _raw = _bam_bytes(tmp_path, n=800)
+    rng = np.random.default_rng(0)
+    ctg_len = 100000
+    seq = "".join(rng.choice(list("ACGT"), ctg_len))
+    ref = tmp_path / "ref.fa"
+    ref.write_text(
+        ">chr1\n"
+        + "\n".join(seq[i : i + 60] for i in range(0, ctg_len, 60))
+        + "\n"
+    )
+    cram = tmp_path / "t.cram"
+    rd = BamReader(path)
+    w = CramWriter(str(cram), rd.header, reference=str(ref))
+    for r in rd:
+        s_txt = "".join("NACGT"[c] for c in r.seq_code)
+        w.write(r.name, r.flag, r.tid, r.pos, r.mapq, r.cigar, r.mtid,
+                r.mpos, r.isize, s_txt, r.qual, r.aux)
+    w.close()
+    raw = open(cram, "rb").read()
+    outs = []
+    for src in (str(cram), "-"):
+        if src == "-":
+            monkeypatch.setattr(sys, "stdin", _FakeStdin(raw))
+        cfg = CallerConfig(
+            input_file=src, reference_file=str(ref), benchmark_mode=True,
+        )
+        o = iomod.BytesIO()
+        run_caller(cfg, out_fileobj=o)
+        outs.append(o.getvalue())
+    assert outs[0] == outs[1] and outs[0].count(b"\n") > 100
