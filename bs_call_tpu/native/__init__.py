@@ -105,6 +105,15 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32
         ]
         lib.bsp_set_ref_lens.restype = None
+        lib.bsp_block_reads_size.restype = None
+        lib.bsp_block_reads_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p
+        ]
+        lib.bsp_block_reads.restype = None
+        lib.bsp_block_reads.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int64,
+        ] + [ctypes.c_void_p] * 5
         lib.bsc_emit_prep.restype = None
         lib.bsc_emit_prep.argtypes = [ctypes.c_int64] + [
             ctypes.c_void_p

@@ -1359,6 +1359,56 @@ struct Pipeline {
         }
     }
 
+    // --- normalized read-batch export (fused device pileup+call) ---
+    // Rows are the exact (align, read-end) segments the pileup loop
+    // above iterates, in the same order; starts are block-relative
+    // (may be negative for reads straddling a partial-range boundary —
+    // the device kernel's pos>=0 clip reproduces the blk_x clip).
+    void block_reads_size(int64_t *n_reads, int64_t *max_len) const {
+        const std::vector<Align *> &src =
+            blk_from_list ? align_list : blk_list;
+        int64_t n = 0, ml = 0;
+        for (const Align *al : src) {
+            if (!al->processed) continue;
+            for (int k = 0; k < 2; k++) {
+                if (!al->has_read[k] || al->read[k].empty()) continue;
+                n++;
+                if ((int64_t)al->read[k].size() > ml)
+                    ml = (int64_t)al->read[k].size();
+            }
+        }
+        *n_reads = n;
+        *max_len = ml;
+    }
+
+    void block_reads(uint8_t *rd, int64_t R, int64_t L, int32_t *starts,
+                     int32_t *ori_out, int32_t *strand_out,
+                     int32_t *mapq_out, int32_t *lens) const {
+        const std::vector<Align *> &src =
+            blk_from_list ? align_list : blk_list;
+        int64_t i = 0;
+        for (const Align *al : src) {
+            if (!al->processed) continue;
+            int ori = al->orientation;
+            for (int k = 0; k < 2; k++, ori ^= 1) {
+                if (!al->has_read[k] || al->read[k].empty()) continue;
+                if (i >= R) return;  // caller sized via block_reads_size
+                const auto &r = al->read[k];
+                int64_t rl = (int64_t)r.size();
+                if (rl > L) rl = L;
+                memcpy(rd + i * L, r.data(), rl);
+                if (rl < L) memset(rd + i * L + rl, 0, L - rl);
+                int64_t rstart = (k ? al->rev_pos : al->fwd_pos);
+                starts[i] = (int32_t)(rstart - (int64_t)blk_x);
+                ori_out[i] = ori;
+                strand_out[i] = al->bs_strand;
+                mapq_out[i] = al->mapq[k];
+                lens[i] = (int32_t)r.size();
+                i++;
+            }
+        }
+    }
+
     // per-position aggregation (call_genotypes.c:45-59 float32 semantics)
     void aggregate(const int32_t *counts2, const float *qual_sum,
                    const float *mapq2, int32_t *counts8, int32_t *quals8,
@@ -1598,6 +1648,16 @@ void bsp_push_eof(void *h) { ((Pipeline *)h)->push_done = true; }
 void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
                       float *mapq2) {
     ((Pipeline *)h)->pileup(counts2, qual_sum, mapq2);
+}
+
+void bsp_block_reads_size(void *h, int64_t *n_reads, int64_t *max_len) {
+    ((Pipeline *)h)->block_reads_size(n_reads, max_len);
+}
+
+void bsp_block_reads(void *h, uint8_t *rd, int64_t R, int64_t L,
+                     int32_t *starts, int32_t *ori, int32_t *strand,
+                     int32_t *mapq, int32_t *lens) {
+    ((Pipeline *)h)->block_reads(rd, R, L, starts, ori, strand, mapq, lens);
 }
 
 void bsp_block_meth_profile(void *h, const uint8_t *ref, int64_t ref_len,

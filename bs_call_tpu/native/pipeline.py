@@ -137,6 +137,37 @@ class NativePipeline:
             },
         }
 
+    def block_reads(self) -> Optional[dict]:
+        """Normalized read batch of the currently staged block — the
+        exact segments the C++ pileup iterates, in the same order, with
+        block-relative starts (may be negative at partial-range
+        boundaries). Feeds the fused device pileup+call tier. Must be
+        called before the next next_block()."""
+        n = np.zeros(1, np.int64)
+        ml = np.zeros(1, np.int64)
+        self._lib.bsp_block_reads_size(
+            ctypes.c_void_p(self._h), n.ctypes.data, ml.ctypes.data
+        )
+        R, L = int(n[0]), int(ml[0])
+        if R == 0:
+            return None
+        rd = np.empty((R, L), np.uint8)
+        starts = np.empty(R, np.int32)
+        ori = np.empty(R, np.int32)
+        strand = np.empty(R, np.int32)
+        mapq = np.empty(R, np.int32)
+        lens = np.empty(R, np.int32)
+        self._lib.bsp_block_reads(
+            ctypes.c_void_p(self._h),
+            rd.ctypes.data, ctypes.c_int64(R), ctypes.c_int64(L),
+            starts.ctypes.data, ori.ctypes.data, strand.ctypes.data,
+            mapq.ctypes.data, lens.ctypes.data,
+        )
+        return {
+            "rd": rd, "starts": starts, "ori": ori, "strand": strand,
+            "mapq": mapq, "lens": lens,
+        }
+
     def block_meth_profile(self, ref_window: np.ndarray, mprof: np.ndarray):
         """Accumulate this block's meth-profile counts into mprof
         [rows, 4] int64 (row = original read position + 1)."""

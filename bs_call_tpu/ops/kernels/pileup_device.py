@@ -118,6 +118,112 @@ def fused_pileup_call(
     return gt_prob, max_gt, margin, off, counts2, qual_sum, mapq2_sum
 
 
+def _agg_quals_f32(counts, qual_sum):
+    """Per-category rounded average quality with the reference's float32
+    semantics (call_genotypes.c:45-59; native aggregate()):
+    (int)floorf(0.5f + qual_sum / (float)count), 0 where count==0."""
+    nn = counts.astype(jnp.float32)
+    avg = qual_sum / jnp.where(counts > 0, nn, jnp.float32(1))
+    return jnp.where(
+        counts > 0, jnp.floor(jnp.float32(0.5) + avg), jnp.float32(0)
+    ).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_pos", "min_qual", "params")
+)
+def fused_ll_dd(rd, starts, ori, strand, mapq, ref_codes, n_pos: int,
+                min_qual: int, params):
+    """Fused exact tier, single device: read batch -> pileup scatter-add
+    -> f32 aggregation -> df32 (double-float32) 10-genotype model, one
+    compiled program. Only read bytes cross H2D; D2H is the dd ll planes
+    plus the uint8 quals (the host compares them against its own C++
+    aggregate and rescues any f32-boundary mismatch through the f64
+    engine, so output bytes never depend on device float behavior).
+    Replaces the pileup + calc_gt_prob hot loops
+    (call_genotypes.c:180-226, genotype_model.c:44-246) on device."""
+    from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+
+    counts2, qual_sum, _m2 = device_pileup(
+        rd, starts, ori, strand, mapq, n_pos, min_qual
+    )
+    counts = counts2.sum(axis=1)
+    quals = _agg_quals_f32(counts, qual_sum)
+    hi, lo = genotype_ll_dd(counts, quals, ref_codes, params)
+    return hi, lo, quals.astype(jnp.uint8)
+
+
+def sharded_fused_ll_dd(mesh, params, n_pos: int, min_qual: int):
+    """Multi-chip fused exact tier: reads are data-parallel over the
+    mesh ('pos' axis reused as the device axis), each chip builds a
+    full-width partial pileup from its read shard, one psum merges the
+    integer counts and f32 qual sums over ICI, and each chip then runs
+    the dd model on its own contiguous position slab. counts are
+    integer-exact under psum; qual sums change accumulation order, which
+    the host-side quals compare absorbs (mismatches rescue to f64).
+
+    Returns fn(rd, starts, ori, strand, mapq, ref) -> (hi, lo, quals_u8)
+    with R % ndev == 0 and n_pos % ndev == 0."""
+    from jax.sharding import PartitionSpec as P
+
+    from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    assert n_pos % nd == 0
+    shard = n_pos // nd
+
+    def local(rd, starts, ori, strand, mapq, ref_shard):
+        counts2, qual_sum, _m2 = device_pileup(
+            rd, starts, ori, strand, mapq, n_pos, min_qual
+        )
+        counts2 = jax.lax.psum(counts2, axis)
+        qual_sum = jax.lax.psum(qual_sum, axis)
+        i = jax.lax.axis_index(axis)
+        c2 = jax.lax.dynamic_slice_in_dim(counts2, i * shard, shard)
+        qs = jax.lax.dynamic_slice_in_dim(qual_sum, i * shard, shard)
+        counts = c2.sum(axis=1)
+        quals = _agg_quals_f32(counts, qs)
+        hi, lo = genotype_ll_dd(counts, quals, ref_shard, params)
+        return hi, lo, quals.astype(jnp.uint8)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
+                      P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
+        )
+    )
+
+
+def pad_read_batch(reads: dict, lo: int, hi: int, r_pad: int, l_cap: int):
+    """Slice a block's read batch to the rows that can touch positions
+    [lo, hi] (block-relative), shift starts to lo, and pad to the fixed
+    (r_pad, l_cap) device shape. Returns (rd, starts, ori, strand, mapq)
+    or None when the live rows exceed r_pad / l_cap (caller falls back).
+    Padding rows are all-zero bytes: q==0 is never live, so they
+    contribute to no segment regardless of their start."""
+    starts = reads["starts"]
+    lens = reads["lens"]
+    keep = (starts <= hi) & (starts + lens - 1 >= lo)
+    n = int(keep.sum())
+    if n > r_pad or reads["rd"].shape[1] > l_cap:
+        return None
+    L = reads["rd"].shape[1]
+    rd = np.zeros((r_pad, l_cap), np.uint8)
+    rd[:n, :L] = reads["rd"][keep]
+    out_starts = np.zeros(r_pad, np.int32)
+    out_starts[:n] = starts[keep] - lo
+    cols = []
+    for k in ("ori", "strand", "mapq"):
+        a = np.zeros(r_pad, np.int32)
+        a[:n] = reads[k][keep]
+        cols.append(a)
+    return (rd, out_starts, *cols)
+
+
 def pack_reads(align_list, x, max_len=None):
     """Host-side packing of a normalized block into the padded device
     layout. Returns (rd, starts, ori, strand, mapq) numpy arrays."""

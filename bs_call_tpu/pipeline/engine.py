@@ -55,9 +55,12 @@ class CallEngine:
         self._jax = None
         self._fast_broken = False
         self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
-        self._exact_engine = None  # auto-mode exact engine ("f64"|"dd")
+        self._exact_engine = None  # auto exact engine ("f64"|"dd"|"fused")
         self._exact_pos = 0  # positions processed before the race
         self._chunk_pool = None  # chunk-dispatch thread pool (lazy)
+        self._fused_broken = False
+        self._fused_fns = {}  # (n_pos, r_pad, l_cap) -> (mesh|None, fn)
+        self._fused_pos = 0  # positions seen with reads (race gating)
         if cfg.device != "numpy":
             try:
                 import jax
@@ -142,14 +145,20 @@ class CallEngine:
                     self.cfg.ref_bias,
                 )
             gt_prob, max_gt, margin, off = res
-        # C-style max-entry replacement (absorbing 1+off) so the GQ phred
-        # chain reproduces the reference's double-precision quantization
-        idx = np.arange(n)
+        return self._finish_exact(
+            gt_prob, max_gt, margin, off, counts, quals, ref
+        )
+
+    def _finish_exact(self, gt_prob, max_gt, margin, off, counts, quals,
+                      ref):
+        """C-style max-entry replacement (absorbing 1+off) so the GQ
+        phred chain reproduces the reference's double-precision
+        quantization, plus (exact mode) the scalar-oracle rescue of true
+        ties / libm-ulp boundaries (same libm as the C binary); the
+        oracle's gt_prob is already C-style."""
+        idx = np.arange(len(max_gt))
         gt_prob[idx, max_gt] = -np.log(1.0 + off) / LOG10
         if self.cfg.exact:
-            # final tier: true ties / libm-ulp boundaries via the scalar
-            # oracle (same libm as the C binary); the oracle's gt_prob is
-            # already C-style
             ties = margin < 1e-9
             for j in np.nonzero(ties)[0]:
                 gt_prob[j], max_gt[j] = oracle.calc_gt_prob(
@@ -159,6 +168,212 @@ class CallEngine:
                 )
         return gt_prob, max_gt, margin, off
 
+
+    # ------------------------------------------------------------------
+    # Fused device tier: the normalized read batch crosses H2D once and
+    # pileup + aggregation + df32 model run in ONE compiled program
+    # (ops/kernels/pileup_device.py) — the TPU-native replacement of the
+    # reference's pileup + calc_gt_prob hot loops
+    # (call_genotypes.c:180-226). Exactness contract: device quals are
+    # shipped back (uint8) and compared against the host C++ aggregate;
+    # any f32-boundary mismatch — and every ll tie — rescues through the
+    # f64/oracle tiers, so output bytes are identical to the host
+    # engines regardless of device float behavior.
+
+    # extra padded positions beyond batch_positions: runner tail chunks
+    # carry up to 16 overlap rows; 64 keeps the padded width divisible
+    # by any power-of-two mesh up to 16 devices
+    _FUSED_PAD = 64
+
+    def wants_reads(self) -> bool:
+        """Should the runner export per-block read batches? True when
+        the fused tier could engage: exact mode with a JAX backend and
+        either device=tpu (forced) or device=auto with an accelerator
+        visible (the race decides later)."""
+        cfg = self.cfg
+        if not cfg.exact or self._jax is None or self._fused_broken:
+            return False
+        if cfg.device == "tpu":
+            return True
+        if cfg.device != "auto":
+            return False
+        if self._exact_engine is not None:
+            return self._exact_engine == "fused"
+        try:
+            jax = self._jax[0]
+            return any(d.platform != "cpu" for d in jax.devices())
+        except Exception:
+            return False
+
+    def _fused_fn(self, n_pos: int, r_pad: int, l_cap: int):
+        """Compiled fused kernel for one padded shape; position-sharded
+        over the default backend's mesh when it has >1 usable device
+        (reads data-parallel + one counts psum, sharding.py design)."""
+        key = (n_pos, r_pad, l_cap)
+        hit = self._fused_fns.get(key)
+        if hit is not None:
+            return hit
+        import functools
+
+        from bs_call_tpu.ops.kernels.pileup_device import (
+            fused_ll_dd,
+            sharded_fused_ll_dd,
+        )
+        from bs_call_tpu.parallel.sharding import usable_device_count
+
+        jax = self._jax[0]
+        mesh = None
+        fn = None
+        try:
+            devs = jax.devices()
+            nd = usable_device_count(len(devs), n_pos)
+            if nd >= 2 and r_pad % nd == 0 and self.cfg.use_mesh:
+                from jax.sharding import Mesh
+
+                mesh = Mesh(np.array(devs[:nd]), ("pos",))
+                fn = sharded_fused_ll_dd(
+                    mesh, self._params, n_pos, self.cfg.min_qual
+                )
+        except Exception:
+            mesh = None
+            fn = None
+        if fn is None:
+            fn = functools.partial(
+                fused_ll_dd,
+                n_pos=n_pos,
+                min_qual=self.cfg.min_qual,
+                params=self._params,
+            )
+
+            def single(rd, starts, ori, strand, mapq, ref):
+                return fn(rd, starts, ori, strand, mapq, ref)
+
+            res = (None, single)
+        else:
+            res = (mesh, fn)
+        self._fused_fns[key] = res
+        return res
+
+    @staticmethod
+    def _pow2(n: int, lo: int) -> int:
+        p = lo
+        while p < n:
+            p *= 2
+        return p
+
+    def _call_fused(self, reads: dict, lo: int, hi: int, ref_codes,
+                    agg, covered_idx):
+        """Fused-tier chunk call over block-relative window [lo, hi].
+        Returns (gt_prob, max_gt, margin, off) for the covered subset
+        (pre-absorption; mismatched-quals rows carry margin=0 so
+        _finish_exact's oracle rescue recomputes them from host inputs),
+        or None to fall back to the column engines."""
+        if self._fused_broken or self._jax is None:
+            return None
+        sz = hi - lo + 1
+        # runner chunk width is max(batch_positions, 1024) (+16 overlap
+        # on tail chunks) — runner.py CHUNK
+        n_pos = max(self.cfg.batch_positions, 1024) + self._FUSED_PAD
+        if sz > n_pos:
+            return None
+        try:
+            from bs_call_tpu.ops.kernels.pileup_device import (
+                pad_read_batch,
+            )
+
+            L = reads["rd"].shape[1]
+            if L > 2048:
+                return None
+            l_cap = self._pow2(L, 64)
+            starts = reads["starts"]
+            n_rows = int(
+                ((starts <= hi) & (starts + reads["lens"] - 1 >= lo)).sum()
+            )
+            r_pad = self._pow2(max(n_rows, 1), 1024)
+            padded = pad_read_batch(reads, lo, hi, r_pad, l_cap)
+            if padded is None:
+                return None
+            ref_pad = np.zeros(n_pos, np.int32)
+            ref_pad[:sz] = np.asarray(ref_codes, dtype=np.int32)
+            mesh, fn = self._fused_fn(n_pos, r_pad, l_cap)
+            if mesh is not None:
+                from bs_call_tpu.parallel.sharding import shard_positions
+
+                args = shard_positions(mesh, *padded, ref_pad)
+            else:
+                args = (*padded, ref_pad)
+            hi_p, lo_p, dev_q = fn(*args)
+            from bs_call_tpu.ops.genotype_dd import dd_finish
+
+            hi_p = np.asarray(hi_p)[covered_idx]
+            lo_p = np.asarray(lo_p)[covered_idx]
+            dev_q = np.asarray(dev_q)[covered_idx].astype(np.int32)
+            gt_prob, max_gt, margin, off = dd_finish(hi_p, lo_p)
+            host_q = agg["quals"][covered_idx]
+            mism = (dev_q != host_q).any(axis=1)
+            n_mism = int(mism.sum())
+            if n_mism > max(16, len(covered_idx) // 100):
+                # systematic divergence (should never happen): let the
+                # column engines carry this chunk rather than walking
+                # the oracle over it
+                return None
+            if n_mism:
+                margin = margin.copy()
+                margin[mism] = 0.0  # forces the oracle rescue
+            return gt_prob, max_gt, margin, off
+        except Exception:
+            self._fused_broken = True
+            return None
+
+    def _fused_gate(self, reads, lo, hi, ref_codes, agg, covered_idx):
+        """Decide whether this chunk runs the fused tier. device=tpu
+        forces it; device=auto races one warm real chunk through fused
+        vs the f64 host engine after 2M positions (never changing
+        output bytes — both land below the oracle tie threshold)."""
+        cfg = self.cfg
+        if not cfg.exact or self._jax is None or self._fused_broken:
+            return False
+        if cfg.device == "tpu":
+            return True
+        if cfg.device != "auto":
+            return False
+        if self._exact_engine is not None:
+            return self._exact_engine == "fused"
+        self._fused_pos += len(covered_idx)
+        if self._fused_pos < 2_000_000:
+            return False
+        try:
+            import time
+
+            jax = self._jax[0]
+            if not any(d.platform != "cpu" for d in jax.devices()):
+                return False
+
+            def clock(fn):
+                if fn() is None:
+                    return float("inf")
+                t0 = time.perf_counter()
+                if fn() is None:
+                    return float("inf")
+                return time.perf_counter() - t0
+
+            t_fused = clock(
+                lambda: self._call_fused(
+                    reads, lo, hi, ref_codes, agg, covered_idx
+                )
+            )
+            counts = agg["counts"][covered_idx].astype(np.int32)
+            quals = agg["quals"][covered_idx]
+            cref = np.asarray(ref_codes, dtype=np.int32)[covered_idx]
+            t_f64 = clock(
+                lambda: self._call_f64_cpu(counts, quals, cref)
+            )
+            self._exact_engine = (
+                "fused" if t_fused < 0.8 * t_f64 else "f64"
+            )
+        except Exception:
+            self._exact_engine = "f64"
+        return self._exact_engine == "fused"
 
     def _mesh_kernel(self, kind, backend):
         """(mesh, jitted sharded kernel) for the active backend, or None
@@ -398,12 +613,15 @@ class CallEngine:
             )
 
     def call_block_soa(self, counts2, qual_sum, mapq2_sum, ref_codes,
-                       agg=None):
+                       agg=None, reads=None):
         """counts2 [sz,2,8], qual_sum [sz,8], mapq2_sum [sz],
         ref_codes [sz]. Returns a dict of position-major arrays:
         covered [sz] bool; counts [sz,8]; quals [sz,8]; mq, aq [sz];
         gt_prob [sz,10] f64; max_gt [sz]; fs [sz] f64.
-        `agg` may carry natively precomputed aggregates."""
+        `agg` may carry natively precomputed aggregates. `reads`, when
+        given, is (read_batch_dict, lo) with lo the block-relative
+        offset of this window's first position — it enables the fused
+        device tier (reads cross H2D instead of pileup columns)."""
         if agg is None:
             agg = aggregate_pileup(counts2, qual_sum, mapq2_sum)
         counts = agg["counts"]
@@ -418,9 +636,26 @@ class CallEngine:
             ccounts = counts[covered]
             cquals = agg["quals"][covered]
             cref = np.asarray(ref_codes, dtype=np.int32)[covered]
-            gt_prob, max_gt, margin, _off = self._call_batch(
-                ccounts.astype(np.int32), cquals, cref
-            )
+            res = None
+            if reads is not None:
+                rd_dict, lo = reads
+                hi = lo + sz - 1
+                if self._fused_gate(
+                    rd_dict, lo, hi, ref_codes, agg, covered
+                ):
+                    res = self._call_fused(
+                        rd_dict, lo, hi, ref_codes, agg, covered
+                    )
+                    if res is not None:
+                        res = self._finish_exact(
+                            *res, ccounts.astype(np.int32), cquals, cref
+                        )
+            if res is not None:
+                gt_prob, max_gt, margin, _off = res
+            else:
+                gt_prob, max_gt, margin, _off = self._call_batch(
+                    ccounts.astype(np.int32), cquals, cref
+                )
             fs = fisher_strand(
                 counts2[covered], max_gt, not self.cfg.reference_quirks
             )

@@ -379,6 +379,12 @@ def process_contig_blocks_native(
                         cname, calc_gc=stats is not None
                     )
                 b["seq"] = pseq
+                # fused device tier: export the staged block's read
+                # batch (valid only until the next next_block call, so
+                # it must be copied out here). wants_reads() flips off
+                # if the auto race later picks a column engine.
+                if engine.wants_reads():
+                    b["reads"] = npipe.block_reads()
                 if stats is not None:
                     with tracer.stage("meth_prof"):
                         mx = b.get("meth_x", b["x"])
@@ -467,11 +473,13 @@ def process_contig_blocks_native(
                 sub_agg = (
                     {k: v[sl] for k, v in agg.items()} if agg else None
                 )
+                rd_blk = blk.get("reads")
                 with tracer.stage("call"):
                     soa = engine.call_block_soa(
                         blk["counts2"][sl], blk["qual_sum"][sl],
                         blk["mapq2_sum"][sl],
                         ref_window[s - x : e - x + 1], agg=sub_agg,
+                        reads=(rd_blk, s - x) if rd_blk else None,
                     )
                 if emit_err:
                     raise emit_err[0]
