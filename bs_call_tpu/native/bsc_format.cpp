@@ -53,7 +53,7 @@ int64_t bsc_format_rows(
     const char *gt_lut, int gt_stride,
     const char *alt_lut, int alt_stride,
     const char *cs_lut, int cs_stride,
-    const char *ft_lut, int ft_stride,
+    const char *ft_lut, int ft_stride, const int32_t *ft_len,
     const char *pbase,
     char *out, int64_t out_cap) {
     char *p = out;
@@ -63,17 +63,22 @@ int64_t bsc_format_rows(
         int gi = g[i];
         int ri = r[i];
         const char *filt;
-        const char *ft;
+        // FT entries may carry embedded NULs (the reference copies each
+        // filter name's terminator into the typed vector,
+        // print_vcf.c:283-296) — always write by explicit length
+        int ft_ix;
         if (flt[i]) {
             filt = "fail";
-            ft = ft_lut + (flt[i] & 15) * ft_stride;
+            ft_ix = (int)(flt[i] & 15);
         } else if (mac1[i]) {
             filt = "mac1";
-            ft = ft_lut;  // "PASS"
+            ft_ix = 0;  // "PASS"
         } else {
             filt = "PASS";
-            ft = ft_lut;
+            ft_ix = 0;
         }
+        const char *ft = ft_lut + ft_ix * ft_stride;
+        int ft_n = ft_len[ft_ix];
         p = put_str(p, ctg_name);
         *p++ = '\t';
         p = put_int(p, pos[i]);
@@ -98,7 +103,8 @@ int64_t bsc_format_rows(
                         : "\tGT:FT:DP:MQ:GQ:QD:GL:MC8:AMQ:CS:CG:CX\t");
         p = put_str(p, gt_lut + (gi * 5 + ri) * gt_stride);
         *p++ = ':';
-        p = put_str(p, ft);
+        memcpy(p, ft, ft_n);
+        p += ft_n;
         *p++ = ':';
         p = put_int(p, dp1[i]);
         *p++ = ':';
@@ -129,12 +135,8 @@ int64_t bsc_format_rows(
         *p++ = ':';
         p = put_str(p, cs_lut + gi * cs_stride);
         *p++ = ':';
-        if (is_cg[i]) {
-            *p++ = 'C';
-            *p++ = 'G';
-        } else {
-            *p++ = (char)cg_code[i];
-        }
+        // one char only, like the reference (print_vcf.c:366-368)
+        *p++ = is_cg[i] ? 'C' : (char)cg_code[i];
         *p++ = ':';
         memcpy(p, ctx + i * 5, 5);
         p += 5;
@@ -246,7 +248,7 @@ int64_t bsc_format_bcf(
     const int64_t *rs_off, const char *rs_blob,
     const char *alt_lut, int alt_stride,
     const char *cs_lut, int cs_stride,
-    const char *ft_lut, int ft_stride,
+    const char *ft_lut, int ft_stride, const int32_t *ft_len,
     const char *pbase, const uint8_t *gt_int_lut,
     char *out, int64_t out_cap) {
     char *p = out;
@@ -306,10 +308,10 @@ int64_t bsc_format_bcf(
         p = enc_int1(p, ids[4]);
         p = enc_vint(p, gt2, 2);
         n_fmt++;
-        // FT
-        const char *ft = flt[i] ? ft_lut + (flt[i] & 15) * ft_stride : ft_lut;
+        // FT (embedded NULs possible — explicit length)
+        int ft_ix = flt[i] ? (int)(flt[i] & 15) : 0;
         p = enc_int1(p, ids[5]);
-        p = enc_str(p, ft, (int)strlen(ft));
+        p = enc_str(p, ft_lut + ft_ix * ft_stride, ft_len[ft_ix]);
         n_fmt++;
         // DP, MQ, GQ, QD
         p = enc_int1(p, ids[8]);
@@ -352,9 +354,9 @@ int64_t bsc_format_bcf(
         p = enc_str(p, cs, (int)strlen(cs));
         n_fmt++;
         p = enc_int1(p, ids[14]);
-        if (is_cg[i]) p = enc_str(p, "CG", 2);
-        else {
-            char cgc = (char)cg_code[i];
+        {
+            // one char only, like the reference (print_vcf.c:366-368)
+            char cgc = is_cg[i] ? 'C' : (char)cg_code[i];
             p = enc_str(p, &cgc, 1);
         }
         n_fmt++;

@@ -349,12 +349,17 @@ class SiteEmitter:
         cpg = cpg_status(self.gt_store)
 
         if not skip:
-            # FT string from hard-filter bits
+            # FT string from hard-filter bits. The reference copies each
+            # name's terminating NUL into the typed char vector
+            # (print_vcf.c:283-296: `while((*p++ = *p1++));` leaves p
+            # past the NUL), so failed-filter lists carry embedded NULs
+            # in the real output bytes — verified against the compiled C
+            # binary (tools/htslib_shim).
             if flt & 15:
                 names = [
                     FILTER_NAMES[i] for i in range(4) if (flt >> i) & 1
                 ]
-                ft = ";".join(names)
+                ft = ";".join(n + "\0" for n in names)
             else:
                 ft = "PASS"
             # GL (print_vcf.c:318-347)
@@ -406,7 +411,10 @@ class SiteEmitter:
                 mc8=[int(v) for v in counts],
                 amq=amq,
                 cs=CS_STR[gt],
-                cg=cpg,
+                # the reference encodes exactly ONE char for CG
+                # (print_vcf.c:366-368: bcf_enc_size(str,1,CHAR) +
+                # kputc_(*cpg)), so CpG sites print "C", never "CG"
+                cg=cpg[0],
                 cx_fmt=ctxt,
                 fs=fs if GT_HET[gt] else None,
             )

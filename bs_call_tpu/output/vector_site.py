@@ -80,11 +80,16 @@ GT_HET_A = np.asarray(GT_HET)
 PBASE_B = np.frombuffer(PBASE.encode(), dtype=np.uint8)
 IUPAC_B = np.frombuffer(IUPAC.encode(), dtype=np.uint8)
 
+# Each failed-filter name carries its terminating NUL in the reference's
+# typed char vector (print_vcf.c:283-296 copies the NUL and advances
+# past it) — verified byte-for-byte against the compiled C binary
+# (tools/htslib_shim/README.md). "PASS" (strcpy + explicit flen=4) does
+# not.
 FT_STR = []
 for _f in range(16):
     if _f:
         names = [n for i, n in enumerate(("q20", "qd2", "fs60", "mq40")) if (_f >> i) & 1]
-        FT_STR.append(";".join(names))
+        FT_STR.append(";".join(n + "\0" for n in names))
     else:
         FT_STR.append("PASS")
 
@@ -143,6 +148,9 @@ _GT_LUT = _lut_blob([GT_STR[g][r] for g in range(10) for r in range(5)], 8)
 _ALT_LUT = _lut_blob([ALT_STR[g][r] for g in range(10) for r in range(5)], 8)
 _CS_LUT = _lut_blob(CS_STR, 4)
 _FT_LUT = _lut_blob(FT_STR, 24)
+# explicit entry lengths: FT entries contain embedded NULs, so the
+# native formatters cannot strlen the blob
+_FT_LEN = np.ascontiguousarray([len(s) for s in FT_STR], dtype=np.int32)
 _PBASE_B5 = PBASE.encode()
 _GT_INT_LUT = bytes(
     GT_INT[g][r] for g in range(10) for r in range(5)
@@ -203,7 +211,8 @@ def _native_format_bcf(bcf_writer, ctg, n, g, r, flt, mac1, prf_all,
         P(arrs["cgc"]),
         prf_all.encode(), ctx_all.encode(),
         rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
-        _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24, _PBASE_B5, _GT_INT_LUT,
+        _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24,
+        _FT_LEN.ctypes.data_as(ctypes.c_void_p), _PBASE_B5, _GT_INT_LUT,
         P(out), ctypes.c_int64(cap),
     )
     if written < 0:
@@ -322,7 +331,8 @@ def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
         P(q_a), P(cg_a), P(cgc),
         prf_all.encode(), ctx_all.encode(),
         rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
-        _GT_LUT, 8, _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24, _PBASE_B5,
+        _GT_LUT, 8, _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24,
+        _FT_LEN.ctypes.data_as(ctypes.c_void_p), _PBASE_B5,
         P(out), ctypes.c_int64(cap),
     )
     if written < 0:
@@ -584,7 +594,7 @@ class VectorBlockEmitter:
             mc8 = "%d,%d,%d,%d,%d,%d,%d,%d" % tuple(ci)
             amq = ",".join(str(q8[i, k]) for k in range(8) if ci[k] > 0)
             if cond_cg[i]:
-                cgs = "CG"
+                cgs = "C"  # reference emits one char (print_vcf.c:366)
             else:
                 cgs = chr(cg_code[i])
             fmt = "GT:FT:DP:MQ:GQ:QD:GL:MC8:AMQ:CS:CG:CX"

@@ -63,7 +63,7 @@ def test_bcf_roundtrip(tmp_path):
     assert s["fmt"]["DP"] == [12]
     assert s["fmt"]["MC8"] == [0, 12, 0, 0, 0, 0, 0, 0]
     assert s["fmt"]["CS"] == "+"
-    assert s["fmt"]["CG"] == "CG"
+    assert s["fmt"]["CG"] == "C"  # one char, print_vcf.c:366
     assert s["fmt"]["FT"] == "PASS"
     assert int(s["qual"]) == s["fmt"]["GQ"][0]
 

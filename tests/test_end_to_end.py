@@ -123,8 +123,9 @@ def test_hom_ref_c_site(called):
     # CX from reference: positions 12-16 = TACGT
     assert s["info"] == "CX=TACGT"
     assert s["CX"] == "TACGT"
-    # C followed by called GG -> CpG
-    assert s["CG"] == "CG"
+    # C followed by called GG -> CpG; the reference emits one char
+    # (print_vcf.c:366-368), so CpG status prints "C"
+    assert s["CG"] == "C"
     assert s["filter"] == "PASS"
 
 
@@ -134,7 +135,7 @@ def test_hom_ref_g_site(called):
     assert s["ref"] == "G"
     assert s["GT"] == "0/0"
     assert s["CS"] == "-"
-    assert s["CG"] == "CG"
+    assert s["CG"] == "C"
 
 
 def test_gl_layout_hom_ref(called):

@@ -101,7 +101,7 @@ def test_methylated_cpgs_call_cc_with_cg_status(tmp_path):
             continue
         hits += 1
         assert fmt["GT"] == "0/0", (p, row)  # CC at a C reference base
-        assert fmt["CG"] == "CG", (p, fmt)
+        assert fmt["CG"] == "C", (p, fmt)  # one char, print_vcf.c:366
         mc8 = [int(v) for v in fmt["MC8"].split(",")]
         # methylated: informative C support (category 5) dominates
         # informative T (category 7) on the C strand

@@ -1,0 +1,302 @@
+/* htsFile + BAM reading for the htslib shim (see README.md).
+ *
+ * Input: BAM via the shim BGZF layer (standard BAM1 container:
+ * magic, l_text, text, n_ref, name/len pairs, then length-prefixed
+ * records whose body is kept verbatim in bam1_t.data). Output files
+ * ('w', 'wz', 'wb'...) hand a FILE* or BGZF* to the VCF layer.
+ * sam_index_load returns NULL (the reference then streams the whole
+ * file; region iterators are only used when an index is present —
+ * get_template_vector.c:68-75). */
+
+#include <errno.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "htslib/hts.h"
+#include "htslib/khash.h"
+#include "htslib/sam.h"
+
+KHASH_MAP_INIT_STR(s2i, int)
+
+/* ---------- hFILE ---------- */
+
+hFILE *hdopen(int fd, const char *mode) {
+    (void)mode;
+    hFILE *h = (hFILE *)malloc(sizeof(hFILE));
+    if (h) h->fd = fd;
+    return h;
+}
+
+int hclose(hFILE *fp) {
+    free(fp);
+    return 0;
+}
+
+/* ---------- htsFile ---------- */
+
+static htsFile *hts_new(const char *fn, const char *mode) {
+    htsFile *fp = (htsFile *)calloc(1, sizeof(htsFile));
+    if (!fp) return NULL;
+    fp->fn = strdup(fn);
+    fp->is_write = mode[0] == 'w' || mode[0] == 'a';
+    fp->is_bin = strchr(mode, 'b') != NULL;
+    return fp;
+}
+
+htsFile *hts_open(const char *fn, const char *mode) {
+    htsFile *fp = hts_new(fn, mode);
+    if (!fp) return NULL;
+    if (fp->is_write) {
+        int to_stdout = !strcmp(fn, "-");
+        if (fp->is_bin || strchr(mode, 'z')) {
+            fp->is_bgzf = 1;
+            fp->bgzf = to_stdout ? bgzf_dopen(1, mode) : bgzf_open(fn, mode);
+            if (!fp->bgzf) goto fail;
+            fp->format.format = fp->is_bin ? bcf : vcf;
+            fp->format.compression = bgzf;
+        } else {
+            fp->fp = to_stdout ? stdout : fopen(fn, "w");
+            if (!fp->fp) goto fail;
+            fp->format.format = vcf;
+        }
+        return fp;
+    }
+    fp->bgzf = bgzf_open(fn, "r");
+    if (!fp->bgzf) goto fail;
+    fp->is_bgzf = 1;
+    char magic[4] = {0};
+    if (bgzf_read(fp->bgzf, magic, 4) == 4 && !memcmp(magic, "BAM\1", 4)) {
+        fp->format.category = sequence_data;
+        fp->format.format = bam;
+        fp->format.compression =
+            bgzf_compression(fp->bgzf) ? bgzf : no_compression;
+        return fp;
+    }
+    fprintf(stderr,
+            "[htslib shim] %s: only BAM input is supported by the "
+            "benchmark shim\n",
+            fn);
+    bgzf_close(fp->bgzf);
+    free(fp->fn);
+    free(fp);
+    return NULL;
+fail:
+    free(fp->fn);
+    free(fp);
+    return NULL;
+}
+
+htsFile *hts_hopen(hFILE *hf, const char *fn, const char *mode) {
+    htsFile *fp = hts_new(fn, mode);
+    if (!fp) return NULL;
+    fp->bgzf = bgzf_dopen(hf->fd, mode);
+    free(hf);
+    if (!fp->bgzf) {
+        free(fp->fn);
+        free(fp);
+        return NULL;
+    }
+    fp->is_bgzf = 1;
+    if (!fp->is_write) {
+        char magic[4] = {0};
+        if (bgzf_read(fp->bgzf, magic, 4) == 4 &&
+            !memcmp(magic, "BAM\1", 4)) {
+            fp->format.category = sequence_data;
+            fp->format.format = bam;
+            fp->format.compression =
+                bgzf_compression(fp->bgzf) ? bgzf : no_compression;
+        } else {
+            fprintf(stderr, "[htslib shim] stdin: only BAM input is "
+                            "supported by the benchmark shim\n");
+            bgzf_close(fp->bgzf);
+            free(fp->fn);
+            free(fp);
+            return NULL;
+        }
+    }
+    return fp;
+}
+
+int hts_close(htsFile *fp) {
+    if (!fp) return 0;
+    int ret = 0;
+    if (fp->bgzf) ret = bgzf_close(fp->bgzf);
+    if (fp->fp && fp->fp != stdout) fclose(fp->fp);
+    else if (fp->fp) fflush(fp->fp);
+    free(fp->fn);
+    free(fp->line.s);
+    free(fp);
+    return ret;
+}
+
+int hts_set_threads(htsFile *fp, int n) {
+    if (fp->bgzf && !fp->is_write) return bgzf_mt(fp->bgzf, n, 64);
+    return 0;
+}
+
+int hts_set_fai_filename(htsFile *fp, const char *fn_aux) {
+    (void)fp;
+    (void)fn_aux; /* only needed for CRAM, which the shim doesn't read */
+    return 0;
+}
+
+void hts_idx_destroy(hts_idx_t *idx) { free(idx); }
+
+void hts_itr_destroy(hts_itr_t *itr) {
+    if (itr) {
+        free(itr->off_beg);
+        free(itr->off_end);
+        free(itr);
+    }
+}
+
+/* ---------- BAM ---------- */
+
+bam1_t *bam_init1(void) { return (bam1_t *)calloc(1, sizeof(bam1_t)); }
+
+void bam_destroy1(bam1_t *b) {
+    if (b) {
+        free(b->data);
+        free(b);
+    }
+}
+
+static int read_le32(BGZF *bgzf, int32_t *out) {
+    uint8_t buf[4];
+    if (bgzf_read(bgzf, buf, 4) != 4) return -1;
+    *out = (int32_t)(buf[0] | (buf[1] << 8) | ((uint32_t)buf[2] << 16) |
+                     ((uint32_t)buf[3] << 24));
+    return 0;
+}
+
+bam_hdr_t *sam_hdr_read(htsFile *fp) {
+    /* the "BAM\1" magic was consumed by format detection in hts_open */
+    if (fp->format.format != bam) return NULL;
+    bam_hdr_t *h = (bam_hdr_t *)calloc(1, sizeof(bam_hdr_t));
+    int32_t l_text, n_ref;
+    if (read_le32(fp->bgzf, &l_text) < 0 || l_text < 0) goto fail;
+    h->l_text = (uint32_t)l_text;
+    h->text = (char *)malloc((size_t)l_text + 1);
+    if (bgzf_read(fp->bgzf, h->text, (size_t)l_text) != l_text) goto fail;
+    h->text[l_text] = 0;
+    if (read_le32(fp->bgzf, &n_ref) < 0 || n_ref < 0) goto fail;
+    h->n_targets = n_ref;
+    h->target_name = (char **)calloc((size_t)n_ref, sizeof(char *));
+    h->target_len = (uint32_t *)calloc((size_t)n_ref, sizeof(uint32_t));
+    for (int i = 0; i < n_ref; i++) {
+        int32_t l_name, l_ref;
+        if (read_le32(fp->bgzf, &l_name) < 0 || l_name <= 0) goto fail;
+        h->target_name[i] = (char *)malloc((size_t)l_name);
+        if (bgzf_read(fp->bgzf, h->target_name[i], (size_t)l_name) !=
+            l_name)
+            goto fail;
+        if (read_le32(fp->bgzf, &l_ref) < 0) goto fail;
+        h->target_len[i] = (uint32_t)l_ref;
+    }
+    return h;
+fail:
+    bam_hdr_destroy(h);
+    return NULL;
+}
+
+void bam_hdr_destroy(bam_hdr_t *h) {
+    if (!h) return;
+    if (h->target_name) {
+        for (int i = 0; i < h->n_targets; i++) free(h->target_name[i]);
+        free(h->target_name);
+    }
+    free(h->target_len);
+    free(h->text);
+    if (h->sdict) kh_destroy(s2i, (khash_t(s2i) *)h->sdict);
+    free(h);
+}
+
+int bam_name2id(bam_hdr_t *h, const char *ref) {
+    if (!h->sdict) {
+        khash_t(s2i) *d = kh_init(s2i);
+        for (int i = 0; i < h->n_targets; i++) {
+            int ret;
+            khint_t k = kh_put(s2i, d, h->target_name[i], &ret);
+            if (ret) kh_val(d, k) = i;
+        }
+        h->sdict = d;
+    }
+    khash_t(s2i) *d = (khash_t(s2i) *)h->sdict;
+    khint_t k = kh_get(s2i, d, ref);
+    return k == kh_end(d) ? -1 : kh_val(d, k);
+}
+
+int sam_read1(htsFile *fp, bam_hdr_t *h, bam1_t *b) {
+    (void)h;
+    int32_t block_size;
+    uint8_t fixed[32];
+    ssize_t n = bgzf_read(fp->bgzf, &block_size, 4);
+    if (n == 0) return -1; /* EOF */
+    if (n != 4) return -2;
+    if (block_size < 32) return -2;
+    if (bgzf_read(fp->bgzf, fixed, 32) != 32) return -2;
+    bam1_core_t *c = &b->core;
+    const uint8_t *p = fixed;
+    c->tid = (int32_t)(p[0] | (p[1] << 8) | ((uint32_t)p[2] << 16) |
+                       ((uint32_t)p[3] << 24));
+    c->pos = (int32_t)(p[4] | (p[5] << 8) | ((uint32_t)p[6] << 16) |
+                       ((uint32_t)p[7] << 24));
+    c->l_qname = p[8];
+    c->qual = p[9];
+    c->bin = (uint16_t)(p[10] | (p[11] << 8));
+    c->n_cigar = (uint16_t)(p[12] | (p[13] << 8));
+    c->flag = (uint16_t)(p[14] | (p[15] << 8));
+    c->l_qseq = (int32_t)(p[16] | (p[17] << 8) | ((uint32_t)p[18] << 16) |
+                          ((uint32_t)p[19] << 24));
+    c->mtid = (int32_t)(p[20] | (p[21] << 8) | ((uint32_t)p[22] << 16) |
+                        ((uint32_t)p[23] << 24));
+    c->mpos = (int32_t)(p[24] | (p[25] << 8) | ((uint32_t)p[26] << 16) |
+                        ((uint32_t)p[27] << 24));
+    c->isize = (int32_t)(p[28] | (p[29] << 8) | ((uint32_t)p[30] << 16) |
+                         ((uint32_t)p[31] << 24));
+    c->l_extranul = 0;
+    int l_data = block_size - 32;
+    if (l_data < 0) return -2;
+    if (b->m_data < l_data) {
+        int m = l_data;
+        m += 32;
+        m &= ~31;
+        uint8_t *d = (uint8_t *)realloc(b->data, (size_t)m);
+        if (!d) return -2;
+        b->data = d;
+        b->m_data = m;
+    }
+    b->l_data = l_data;
+    if (bgzf_read(fp->bgzf, b->data, (size_t)l_data) != l_data) return -2;
+    /* basic framing sanity so corrupt input fails instead of walking
+     * off the record */
+    size_t need = (size_t)c->l_qname + ((size_t)c->n_cigar << 2) +
+                  (size_t)((c->l_qseq + 1) >> 1) + (size_t)c->l_qseq;
+    if (need > (size_t)l_data) return -2;
+    return block_size;
+}
+
+/* ---------- index / iterators (streaming stub) ---------- */
+
+hts_idx_t *sam_index_load(htsFile *fp, const char *fn) {
+    (void)fp;
+    (void)fn;
+    return NULL; /* no index: bs_call streams the whole file */
+}
+
+hts_itr_t *sam_itr_queryi(const hts_idx_t *idx, int tid, hts_pos_t beg,
+                          hts_pos_t end) {
+    (void)idx;
+    (void)tid;
+    (void)beg;
+    (void)end;
+    return NULL;
+}
+
+int sam_itr_next(htsFile *fp, hts_itr_t *itr, bam1_t *b) {
+    (void)fp;
+    (void)itr;
+    (void)b;
+    return -2; /* unreachable: sam_index_load never returns an index */
+}
