@@ -65,10 +65,12 @@ def bench_oracle(n=2000):
     return n / dt
 
 
-def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0):
+def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0, n_contigs=1):
     """Realistic WGBS fixture: ~70% proper pairs (some overlapping),
     bisulfite conversion with per-read strand tags, SNPs, indels,
-    soft clips, flagged + positional duplicates, mixed map/base quality."""
+    soft clips, flagged + positional duplicates, mixed map/base quality.
+    With n_contigs > 1, n_reads are generated PER CONTIG (chr1..chrN,
+    each ctg_len bp) so per-contig shard workers get equal work."""
     import os
 
     from bs_call_tpu.io.bam import (
@@ -84,23 +86,52 @@ def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0):
         aux_tag,
     )
 
-    rng = np.random.default_rng(seed)
-    seq_arr = rng.choice(list("ACGT"), ctg_len)
-    for p in range(200, ctg_len - 2, 211):  # salt CpGs for the automaton
-        seq_arr[p] = "C"
-        seq_arr[p + 1] = "G"
-    seq = "".join(seq_arr)
+    names = [f"chr{c + 1}" for c in range(n_contigs)]
     ref = os.path.join(tmp, "ref.fa")
+    seqs = []
     with open(ref, "w") as f:
-        f.write(">chr1\n")
-        for i in range(0, ctg_len, 60):
-            f.write(seq[i : i + 60] + "\n")
+        for c in range(n_contigs):
+            rng = np.random.default_rng(seed + 7919 * c)
+            seq_arr = rng.choice(list("ACGT"), ctg_len)
+            for p in range(200, ctg_len - 2, 211):  # salt CpGs
+                seq_arr[p] = "C"
+                seq_arr[p + 1] = "G"
+            seqs.append("".join(seq_arr))
+            f.write(f">{names[c]}\n")
+            for i in range(0, ctg_len, 60):
+                f.write(seqs[c][i : i + 60] + "\n")
     bam = os.path.join(tmp, "in.bam")
     hdr = BamHeader(
-        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
-        ref_names=["chr1"],
-        ref_lens=[ctg_len],
+        text="@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join(
+            f"@SQ\tSN:{n}\tLN:{ctg_len}\n" for n in names
+        ),
+        ref_names=names,
+        ref_lens=[ctg_len] * n_contigs,
     )
+    w = BamWriter(bam, hdr)
+    total = 0
+    for c in range(n_contigs):
+        total += _gen_contig_reads(
+            w, c, seqs[c], n_reads, ctg_len, seed + 7919 * c
+        )
+    w.close()
+    return ref, bam, total
+
+
+def _gen_contig_reads(w, tid, seq, n_reads, ctg_len, seed):
+    from bs_call_tpu.io.bam import (
+        FDUP,
+        FMREVERSE,
+        FPAIRED,
+        FPROPER_PAIR,
+        FREAD1,
+        FREAD2,
+        FREVERSE,
+        aux_tag,
+    )
+
+    rng = np.random.default_rng(seed)
     rl = 150
     snp_pos = set(rng.integers(0, ctg_len, ctg_len // 1000).tolist())
 
@@ -137,12 +168,12 @@ def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0):
             q1 = rng.integers(15, 44, rl).astype(np.uint8)
             q2 = rng.integers(15, 44, rl).astype(np.uint8)
             recs.append(
-                (pos1, f"p{n}", f1, 0, pos1, mapq, [(rl, 0)], 0, pos2,
-                 isize, read_seq(pos1, conv), q1, tag)
+                (pos1, f"c{tid}p{n}", f1, tid, pos1, mapq, [(rl, 0)], tid,
+                 pos2, isize, read_seq(pos1, conv), q1, tag)
             )
             recs.append(
-                (pos2, f"p{n}", f2, 0, pos2, mapq, [(rl, 0)], 0, pos1,
-                 -isize, read_seq(pos2, conv), q2, tag)
+                (pos2, f"c{tid}p{n}", f2, tid, pos2, mapq, [(rl, 0)], tid,
+                 pos1, -isize, read_seq(pos2, conv), q2, tag)
             )
             n += 2
         else:
@@ -170,23 +201,21 @@ def _make_e2e_fixture(tmp, n_reads, ctg_len, seed=0):
             flag = FREVERSE if rng.random() < 0.5 else 0
             q = rng.integers(15, 44, len(s)).astype(np.uint8)
             recs.append(
-                (pos1, f"s{n}", flag, 0, pos1, mapq, cigar, -1, -1, 0,
-                 s, q, tag)
+                (pos1, f"c{tid}s{n}", flag, tid, pos1, mapq, cigar, -1,
+                 -1, 0, s, q, tag)
             )
             n += 1
             if rng.random() < 0.05 and n < n_reads:  # positional dup
                 recs.append(
-                    (pos1, f"s{n}", flag, 0, pos1, mapq, cigar, -1, -1,
-                     0, s, rng.integers(15, 44, len(s)).astype(np.uint8),
-                     tag)
+                    (pos1, f"c{tid}s{n}", flag, tid, pos1, mapq, cigar,
+                     -1, -1, 0, s,
+                     rng.integers(15, 44, len(s)).astype(np.uint8), tag)
                 )
                 n += 1
     recs.sort(key=lambda r: r[0])
-    w = BamWriter(bam, hdr)
     for r in recs:
         w.write(*r[1:])
-    w.close()
-    return ref, bam, len(recs)
+    return len(recs)
 
 
 def bench_end_to_end(n_reads=30000, ctg_len=300_000, runs=3):

@@ -44,11 +44,11 @@ def ref_binary():
     return BIN
 
 
-def _fixture(tmp, n_reads=4000, ctg_len=60_000):
+def _fixture(tmp, n_reads=4000, ctg_len=60_000, n_contigs=1):
     sys.path.insert(0, str(REPO))
     from bench import _make_e2e_fixture
 
-    return _make_e2e_fixture(str(tmp), n_reads, ctg_len)
+    return _make_e2e_fixture(str(tmp), n_reads, ctg_len, n_contigs=n_contigs)
 
 
 def _run_c(binary, bam, ref, out, extra=()):
@@ -87,3 +87,31 @@ def test_byte_identity_all_positions(ref_binary, tmp_path):
     assert (tmp_path / "c.vcf").read_bytes() == (
         tmp_path / "py.vcf"
     ).read_bytes()
+
+
+def test_byte_identity_multi_contig(ref_binary, tmp_path):
+    """Multi-contig parity vs the real binary.
+
+    The reference must run per contig here: a single multi-contig run
+    nondeterministically drops each non-final contig's last pileup
+    block (a print-thread vs free_sequence race on ctg->end_pos,
+    print_vcf.c:158 / get_sequence.c:24 — see
+    tools/htslib_shim/README.md). One `-C` process per contig is the
+    race-free configuration (each contig is that process's last) and
+    the reference's documented per-contig production workflow; their
+    concatenated records must equal our single multi-contig run."""
+    ref, bam, _ = _fixture(
+        tmp_path, n_reads=1200, ctg_len=25_000, n_contigs=3
+    )
+    c_records = b""
+    for i in (1, 2, 3):
+        bed = tmp_path / f"chr{i}.bed"
+        bed.write_text(f"chr{i}\t0\t25000\n")
+        out = tmp_path / f"c{i}.vcf"
+        _run_c(ref_binary, bam, ref, out, ["-C", str(bed)])
+        body = out.read_bytes()
+        c_records += body[body.index(b"\nchr") + 1:]
+    _run_py(bam, ref, tmp_path / "py.vcf", [])
+    py = (tmp_path / "py.vcf").read_bytes()
+    py_records = py[py.index(b"\nchr") + 1:]
+    assert c_records == py_records
