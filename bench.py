@@ -1,18 +1,28 @@
-"""Benchmark: genotype-calling throughput on the attached accelerator.
+"""Benchmark: end-to-end per-host throughput vs the real reference binary.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no numbers (BASELINE.md) and cannot be built here
-(no htslib), so the baseline denominator is the single-threaded float64
-scalar implementation of the same math (ops/oracle.py, a direct
-transcription of the C inner loop genotype_model.c:44-246) measured on this
-host — a faithful stand-in for the C binary's per-position calc cost.
+The reference publishes no numbers (BASELINE.md), but it now *builds* in
+this environment via tools/htslib_shim, so the baseline denominator is
+measured directly: the compiled bs_call 2.1.7 run in its own production
+per-host configuration (one process per contig in parallel — its
+documented whole-genome workflow, README.md:73-76) on the same realistic
+WGBS fixture. Both sides get their best configuration; the headline is
+our best per-host reads/s, vs_baseline the ratio of the two.
+
+If the reference build fails, the headline falls back to the genotype
+kernel metric against the scalar-oracle stand-in (rounds 1-2 behavior).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def make_batch(n, seed=0):
@@ -133,19 +143,22 @@ def _gen_contig_reads(w, tid, seq, n_reads, ctg_len, seed):
 
     rng = np.random.default_rng(seed)
     rl = 150
-    snp_pos = set(rng.integers(0, ctg_len, ctg_len // 1000).tolist())
+    snp_pos = rng.integers(0, ctg_len, ctg_len // 1000)
+    # sample-genome view: reference with heterozygous-style SNPs applied
+    # once, so read generation is a vectorized slice + conversion mask
+    base = np.frombuffer(seq.encode(), dtype=np.uint8).copy()
+    base[snp_pos] = np.frombuffer(b"ACGT", dtype=np.uint8)[
+        (base[snp_pos] + 1) % 4
+    ]
+    C, G, T, A = (ord(c) for c in "CGTA")
 
     def read_seq(pos, conv, length=rl):
-        s = list(seq[pos : pos + length])
-        for j in range(length):
-            gp = pos + j
-            if gp in snp_pos:
-                s[j] = "ACGT"[(ord(s[j]) + 1) % 4]
-            if conv == "C" and s[j] == "C" and rng.random() < 0.7:
-                s[j] = "T"
-            elif conv == "G" and s[j] == "G" and rng.random() < 0.6:
-                s[j] = "A"
-        return "".join(s)
+        s = base[pos : pos + length].copy()
+        if conv == "C":
+            s[(s == C) & (rng.random(len(s)) < 0.7)] = T
+        else:
+            s[(s == G) & (rng.random(len(s)) < 0.6)] = A
+        return s.tobytes().decode()
 
     recs = []
     n = 0
@@ -255,6 +268,45 @@ def bench_end_to_end(n_reads=30000, ctg_len=300_000, runs=3):
     return n_recs / dt
 
 
+def bench_modes(n_reads=30000, ctg_len=300_000, runs=2):
+    """Timed e2e of the non-default engine modes on the realistic
+    fixture: --no-exact (f32 device model, no f64 pass) and --device tpu
+    (df32 exact on the accelerator). Over a tunneled chip both pay
+    per-batch transfer latency; on co-located hosts they are the fast
+    path — the honest numbers either way, as context lines."""
+    import tempfile
+
+    from bs_call_tpu.config import CallerConfig
+    from bs_call_tpu.pipeline.runner import run_caller
+
+    tmp = tempfile.mkdtemp(prefix="bsc_modes_")
+    ref, bam, n_recs = _make_e2e_fixture(tmp, n_reads, ctg_len)
+    out = open(os.devnull, "wb")
+    for label, kw in [
+        ("--no-exact (f32 device)", {"exact": False}),
+        ("--device tpu (df32 exact)", {"device": "tpu"}),
+    ]:
+        try:
+            times = []
+            for i in range(runs + 1):
+                cfg = CallerConfig(
+                    input_file=bam, reference_file=ref,
+                    benchmark_mode=True, **kw,
+                )
+                t0 = time.perf_counter()
+                run_caller(cfg, out_fileobj=out)
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    times.append(dt)
+            med = sorted(times)[len(times) // 2]
+            print(
+                f"e2e {label}: {n_recs/med:.0f} reads/s",
+                file=sys.stderr,
+            )
+        except Exception as e:
+            print(f"e2e {label} failed: {e}", file=sys.stderr)
+
+
 def bench_fused(n_reads=1 << 13, rl=150, n_pos=1 << 16, iters=10):
     """Fused read-batch->call step vs host-pileup + column-transfer +
     device call: the fused step moves ~rl bytes per read H2D instead of
@@ -341,31 +393,166 @@ def bench_fused(n_reads=1 << 13, rl=150, n_pos=1 << 16, iters=10):
     )
 
 
-def main():
-    import sys
+def _build_reference_binary(build_dir="/tmp/bsref_bench"):
+    """Compile the reference bs_call against tools/htslib_shim (~3 s).
+    Returns the binary path, or None when the build is impossible here."""
+    script = os.path.join(REPO, "tools", "htslib_shim", "build_ref.sh")
+    ref_tree = os.environ.get("BS_CALL_REFERENCE", "/root/reference")
+    binary = os.path.join(build_dir, "bin", "bs_call")
+    if not (os.path.isdir(ref_tree) and os.path.exists(script)):
+        return None
+    try:
+        r = subprocess.run(
+            ["bash", script, ref_tree, build_dir],
+            capture_output=True, text=True, timeout=300,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if r.returncode != 0 or not os.path.exists(binary):
+        print(f"reference build failed: {r.stderr[-300:]}", file=sys.stderr)
+        return None
+    return binary
 
-    pos_per_sec = bench_device()
-    baseline = bench_oracle()
-    # headline metric first so a slow/hung e2e extra can't eat it
-    print(
-        json.dumps(
-            {
-                "metric": "genotype_call_positions_per_sec_per_chip",
-                "value": round(pos_per_sec),
-                "unit": "positions/s",
-                "vs_baseline": round(pos_per_sec / baseline, 2),
-            }
-        ),
-        flush=True,
+
+def _timed(cmd_factory, n_items, runs=3, warm=1, timeout=600):
+    """Median reads/s of `runs` timed executions after `warm` warmups.
+    cmd_factory() must run one full execution (and raise on failure)."""
+    times = []
+    for i in range(warm + runs):
+        t0 = time.perf_counter()
+        cmd_factory()
+        dt = time.perf_counter() - t0
+        if i >= warm:
+            times.append(dt)
+    return n_items / sorted(times)[len(times) // 2]
+
+
+def bench_per_host(n_contigs=4, n_reads=60_000, ctg_len=500_000, runs=3):
+    """Head-to-head per-host e2e: our caller (best of single-process and
+    --shards N) vs the compiled reference (best of single process and
+    its per-contig parallel production workflow) on one realistic
+    multi-contig WGBS fixture. Returns a dict or None when the
+    reference binary cannot be built."""
+    import tempfile
+
+    binary = _build_reference_binary()
+    tmp = tempfile.mkdtemp(prefix="bsc_perhost_")
+    ref, bam, n_recs = _make_e2e_fixture(
+        tmp, n_reads, ctg_len, n_contigs=n_contigs
     )
+    nproc = os.cpu_count() or 4
+    env = {
+        **os.environ,
+        # APPEND to PYTHONPATH: clobbering it can drop an interpreter
+        # sitecustomize (e.g. an accelerator-plugin registration dir),
+        # silently degrading subprocess engines to slower fallbacks
+        "PYTHONPATH": os.pathsep.join(
+            p for p in (REPO, os.environ.get("PYTHONPATH")) if p
+        ),
+        # same-host same-run persistent XLA cache: shard workers skip
+        # the per-process kernel compile (the cross-host SIGILL concern
+        # behind keeping this opt-in does not apply to a private dir)
+        "BS_CALL_XLA_CACHE": os.path.join(tmp, "xla"),
+    }
+
+    def py_run(extra):
+        def go():
+            r = subprocess.run(
+                [sys.executable, "-m", "bs_call_tpu.cli", bam, "-r", ref,
+                 "-o", os.path.join(tmp, "py.vcf"), "--benchmark-mode",
+                 "-n", "S", *extra],
+                capture_output=True, env=env, cwd=REPO, timeout=600,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(r.stderr[-400:].decode("utf-8", "replace"))
+        return go
+
+    results = {}
+    results["ours_single"] = _timed(py_run([]), n_recs, runs=runs)
+    results["ours_shards"] = _timed(
+        py_run(["--shards", str(nproc)]), n_recs, runs=runs
+    )
+    if binary is not None:
+        beds = []
+        for i in range(1, n_contigs + 1):
+            bed = os.path.join(tmp, f"chr{i}.bed")
+            with open(bed, "w") as f:
+                f.write(f"chr{i}\t0\t{ctg_len}\n")
+            beds.append(bed)
+
+        def c_single():
+            r = subprocess.run(
+                [binary, bam, "-r", ref, "-o", os.path.join(tmp, "c.vcf"),
+                 "--benchmark-mode", "-n", "S"],
+                capture_output=True, timeout=600,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(r.stderr[-400:].decode("utf-8", "replace"))
+
+        def c_perhost():
+            # the reference's production per-host configuration: one
+            # process per contig, all in parallel (README.md:73-76)
+            procs = [
+                subprocess.Popen(
+                    [binary, bam, "-r", ref,
+                     "-o", os.path.join(tmp, f"c{i}.vcf"),
+                     "--benchmark-mode", "-n", "S", "-C", beds[i - 1]],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                )
+                for i in range(1, n_contigs + 1)
+            ]
+            for p in procs:
+                if p.wait(timeout=600) != 0:
+                    raise RuntimeError("reference shard failed")
+
+        results["ref_single"] = _timed(c_single, n_recs, runs=runs)
+        results["ref_perhost"] = _timed(c_perhost, n_recs, runs=runs)
+    for k, v in results.items():
+        print(f"per-host {k}: {v:.0f} reads/s", file=sys.stderr)
+    return results
+
+
+def main():
+    headline = None
     try:
-        bench_end_to_end()
-    except Exception as e:  # context only
-        print(f"end-to-end bench failed: {e}", file=sys.stderr)
-    try:
-        bench_fused()
-    except Exception as e:  # context only
-        print(f"fused bench failed: {e}", file=sys.stderr)
+        r = bench_per_host()
+        ours = max(r["ours_single"], r["ours_shards"])
+        if "ref_perhost" in r:
+            ref_best = max(r["ref_single"], r["ref_perhost"])
+            headline = {
+                "metric": "e2e_per_host_reads_per_sec",
+                "value": round(ours),
+                "unit": "reads/s",
+                "vs_baseline": round(ours / ref_best, 2),
+            }
+        else:
+            print("no reference binary; kernel headline", file=sys.stderr)
+    except Exception as e:  # fall back to the kernel headline
+        print(f"per-host bench failed: {e}", file=sys.stderr)
+    if headline is None:
+        pos_per_sec = bench_device()
+        baseline = bench_oracle()
+        headline = {
+            "metric": "genotype_call_positions_per_sec_per_chip",
+            "value": round(pos_per_sec),
+            "unit": "positions/s",
+            "vs_baseline": round(pos_per_sec / baseline, 2),
+        }
+    # headline first so a slow/hung context extra can't eat it
+    print(json.dumps(headline), flush=True)
+    for name, fn in [
+        ("kernel", lambda: print(
+            f"genotype kernel: {bench_device():.0f} pos/s "
+            f"(oracle stand-in {bench_oracle():.0f} pos/s)",
+            file=sys.stderr)),
+        ("end-to-end", bench_end_to_end),
+        ("modes", bench_modes),
+        ("fused", bench_fused),
+    ]:
+        try:
+            fn()
+        except Exception as e:  # context only
+            print(f"{name} bench failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

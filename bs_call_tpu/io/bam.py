@@ -44,6 +44,11 @@ _NIB2CODE[8] = 4  # T
 
 _SEQ_CHARS = "=ACMGRSVTWYHKDBN"
 _CHAR2NIB = {c: i for i, c in enumerate(_SEQ_CHARS)}
+_CHAR2NIB_LUT = np.full(256, 15, dtype=np.uint8)
+for _c, _i in _CHAR2NIB.items():
+    _CHAR2NIB_LUT[ord(_c)] = _i
+    _CHAR2NIB_LUT[ord(_c.lower())] = _i
+del _c, _i
 
 
 @dataclass
@@ -305,16 +310,16 @@ class BamWriter:
     ):
         nb = name.encode() + b"\x00"
         l_seq = len(seq)
-        nib = [_CHAR2NIB.get(c.upper(), 15) for c in seq]
+        nib = _CHAR2NIB_LUT[np.frombuffer(seq.encode(), dtype=np.uint8)]
         if len(nib) % 2:
-            nib.append(0)
-        seq_bytes = bytes(
-            (nib[i] << 4) | nib[i + 1] for i in range(0, len(nib), 2)
-        )
+            nib = np.append(nib, np.uint8(0))
+        seq_bytes = ((nib[0::2] << 4) | nib[1::2]).tobytes()
         if qual is None:
             qual_bytes = b"\xff" * l_seq
         else:
-            qual_bytes = bytes(int(q) for q in qual)
+            qual_bytes = np.ascontiguousarray(
+                np.asarray(qual, dtype=np.uint8)
+            ).tobytes()
         core = struct.pack(
             "<iiBBHHHiii",
             tid,

@@ -39,7 +39,18 @@ def partition_contigs(
 
 
 def _worker(args):
-    (cfg_dict, shard_names, sizes_path, out_path, want_stats) = args
+    (cfg_dict, shard_names, sizes_path, out_path, want_stats,
+     cpu_ids) = args
+    # Pin each worker to its share of the host's cores (the reference's
+    # -t thread-partition analog, parse_args.c:191-213, applied across
+    # processes): XLA:CPU and the pipeline threads otherwise all size
+    # themselves to the full machine, and N workers x full-size thread
+    # pools thrash the cache instead of parallelizing.
+    if cpu_ids:
+        try:
+            os.sched_setaffinity(0, cpu_ids)
+        except (AttributeError, OSError):
+            pass
     # Workers compute on the host CPU backend (exact mode is f64-on-CPU;
     # the fast f32 path over a tunneled accelerator is transfer-bound
     # anyway). Pinning the platform BEFORE any backend touch also avoids
@@ -135,10 +146,19 @@ def run_sharded(
     final_type = cfg.out_file_type
     bcf_out = final_type in (C.FT_BCF, C.FT_BCF_GZ)
     cfg_dict["out_file_type"] = C.FT_BCF if bcf_out else C.FT_VCF
+    try:
+        cpus = sorted(os.sched_getaffinity(0))
+    except AttributeError:
+        cpus = list(range(os.cpu_count() or 1))
     jobs = []
     for i, shard in enumerate(shards):
         out_path = os.path.join(tmpdir, f"shard{i}.vcf")
-        jobs.append((dict(cfg_dict), shard, sizes_path, out_path, collect_stats))
+        cpu_ids = (
+            frozenset(cpus[i::len(shards)]) if len(cpus) >= len(shards)
+            else None
+        )
+        jobs.append((dict(cfg_dict), shard, sizes_path, out_path,
+                     collect_stats, cpu_ids))
     if pool is None:
         # spawn: forking after JAX/TPU backend initialization deadlocks
         ctx = mp.get_context("spawn")

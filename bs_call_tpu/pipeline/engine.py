@@ -23,6 +23,30 @@ from bs_call_tpu.ops.postprocess import aggregate_pileup, fisher_strand
 from bs_call_tpu.output.site import SiteCall
 
 
+def _cpu_device(jax):
+    """The host CPU jax device, or None.
+
+    When JAX_PLATFORMS pins a platform whose plugin never registered
+    (e.g. a sitecustomize-registered accelerator dropped by a clobbered
+    PYTHONPATH), every backend lookup raises — but the CPU plugin is
+    always linked in. If no backend at all is initializable, re-pin the
+    platform to cpu and retry once: an XLA CPU engine is strictly better
+    than the silent NumPy degradation this used to cause."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        pass
+    try:
+        jax.devices()  # some backend works, just no cpu: leave it be
+        return None
+    except RuntimeError:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            return jax.devices("cpu")[0]
+        except Exception:
+            return None
+
+
 def _enable_compilation_cache(jax) -> None:
     """Opt-in persistent XLA compilation cache (BS_CALL_XLA_CACHE=dir or
     =1 for the default location): repeated CLI invocations skip the
@@ -601,9 +625,8 @@ class CallEngine:
         if self._jax is None:
             return None
         jax, jnp, call_genotypes = self._jax
-        try:
-            cpu = jax.devices("cpu")[0]
-        except RuntimeError:
+        cpu = _cpu_device(jax)
+        if cpu is None:
             return None
         if not jax.config.jax_enable_x64:
             jax.config.update("jax_enable_x64", True)

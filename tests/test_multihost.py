@@ -54,7 +54,9 @@ def _free_port():
 def test_two_host_run_matches_single(tmp_path):
     ref, bam = _fixture(tmp_path)
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (REPO, env.get("PYTHONPATH")) if p
+    )
     env["BS_CALL_PLATFORM"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
@@ -144,7 +146,9 @@ def test_concat_cli(tmp_path):
     single-process bytes (VCF and BCF), regardless of argument order."""
     ref, bam = _fixture(tmp_path)
     env = dict(os.environ)
-    env["PYTHONPATH"] = REPO
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (REPO, env.get("PYTHONPATH")) if p
+    )
     env["BS_CALL_PLATFORM"] = "cpu"
     env.pop("XLA_FLAGS", None)
 

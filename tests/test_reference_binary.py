@@ -66,7 +66,9 @@ def _run_py(bam, ref, out, extra=()):
          str(ref), "-o", str(out), "--benchmark-mode", "-n", "SAMPLE",
          *extra],
         capture_output=True, text=True, timeout=600,
-        env={**os.environ, "PYTHONPATH": str(REPO)}, cwd=str(REPO),
+        env={**os.environ, "PYTHONPATH": os.pathsep.join(
+            p for p in (str(REPO), os.environ.get("PYTHONPATH")) if p
+        )}, cwd=str(REPO),
     )
     assert r.returncode == 0, r.stderr[-800:]
 
