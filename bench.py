@@ -427,7 +427,7 @@ def _timed(cmd_factory, n_items, runs=3, warm=1, timeout=600):
     return n_items / sorted(times)[len(times) // 2]
 
 
-def bench_per_host(n_contigs=4, n_reads=60_000, ctg_len=500_000, runs=3):
+def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
     """Head-to-head per-host e2e: our caller (best of single-process and
     --shards N) vs the compiled reference (best of single process and
     its per-contig parallel production workflow) on one realistic

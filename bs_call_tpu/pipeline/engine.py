@@ -23,6 +23,72 @@ from bs_call_tpu.ops.postprocess import aggregate_pileup, fisher_strand
 from bs_call_tpu.output.site import SiteCall
 
 
+_UNSET = object()
+
+# _accel_transfer_time result when the probe child could not acquire a
+# device (e.g. a co-located TPU holds a per-process lock): the transfer
+# cost is unknowable from outside, so callers skip the precheck and race
+# the compiled engine directly, as before the probe existed.
+_PROBE_UNKNOWN = object()
+
+# Transfer probe, run in a CHILD process so a stalled transfer can be
+# killed: a blocking device_put cannot be interrupted in a thread, and a
+# daemon thread still inside the PJRT client when CPython finalizes
+# aborts the whole process (pthread_exit unwinding through C++). The
+# child writes progress lines to argv[1] so the parent can distinguish
+# "device acquired, transfers slow" from "never got a device".
+_PROBE_SRC = """\
+import sys, time
+out = open(sys.argv[1], "w", buffering=1)
+bp = int(sys.argv[2])
+import numpy as np
+import jax
+accel = [d for d in jax.devices() if d.platform != "cpu"]
+if not accel:
+    out.write("none\\n")
+    sys.exit(0)
+out.write("init\\n")
+h2d = [np.zeros((bp, 8), np.int32), np.zeros((bp, 8), np.int32),
+       np.zeros(bp, np.int32)]
+d2h = jax.device_put(np.zeros((bp, 20), np.float32), accel[0])
+d2h.block_until_ready()
+for a in h2d:
+    jax.device_put(a, accel[0]).block_until_ready()
+t0 = time.perf_counter()
+for a in h2d:
+    jax.device_put(a, accel[0]).block_until_ready()
+np.asarray(d2h)
+out.write("rt %r\\n" % (time.perf_counter() - t0))
+"""
+
+
+def _probe_cleanup(proc, path):
+    """Kill a still-running probe child and remove its result file
+    (idempotent; registered with atexit so no child outlives the run)."""
+    import os
+
+    try:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait(timeout=5)
+    except Exception:
+        pass
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
+def _ms(t) -> str:
+    if t is None:
+        return "n/a"
+    if t is _PROBE_UNKNOWN:
+        return "unknown"
+    if t == float("inf"):
+        return ">grace"
+    return f"{1e3 * t:.1f}ms"
+
+
 def _cpu_device(jax):
     """The host CPU jax device, or None.
 
@@ -85,6 +151,10 @@ class CallEngine:
         self._fused_broken = False
         self._fused_fns = {}  # (n_pos, r_pad, l_cap) -> (mesh|None, fn)
         self._fused_pos = 0  # positions seen with reads (race gating)
+        self._probe_rt = _UNSET  # accelerator transfer probe (cached)
+        self._probe_proc = _UNSET  # background probe child process
+        self._probe_file = None  # the child's result file
+        self.tracer = None  # set by the runner for -v observability
         if cfg.device != "numpy":
             try:
                 import jax
@@ -365,13 +435,11 @@ class CallEngine:
             return self._exact_engine == "fused"
         self._fused_pos += len(covered_idx)
         if self._fused_pos < 2_000_000:
+            if self._fused_pos >= 500_000:
+                self._start_probe()  # background runway before the race
             return False
         try:
             import time
-
-            jax = self._jax[0]
-            if not any(d.platform != "cpu" for d in jax.devices()):
-                return False
 
             def clock(fn):
                 if fn() is None:
@@ -381,19 +449,38 @@ class CallEngine:
                     return float("inf")
                 return time.perf_counter() - t0
 
-            t_fused = clock(
-                lambda: self._call_fused(
-                    reads, lo, hi, ref_codes, agg, covered_idx
-                )
-            )
             counts = agg["counts"][covered_idx].astype(np.int32)
             quals = agg["quals"][covered_idx]
             cref = np.asarray(ref_codes, dtype=np.int32)[covered_idx]
             t_f64 = clock(
                 lambda: self._call_f64_cpu(counts, quals, cref)
             )
+            # same transfer-only precheck as _auto_engine: the fused
+            # tier moves a comparable volume (reads in, 3 position
+            # tensors out); if the round-trip alone loses to the f64
+            # chunk, skip the fused compile entirely (UNKNOWN = the
+            # probe couldn't see the device: race the real engine)
+            rt = self._accel_transfer_time()
+            if rt is None or (
+                rt is not _PROBE_UNKNOWN and rt >= 0.8 * t_f64
+            ):
+                self._exact_engine = "f64"
+                self._trace_decision(
+                    f"exact engine: f64 (accel transfer "
+                    f"{_ms(rt)} vs f64 chunk {_ms(t_f64)})"
+                )
+                return False
+            t_fused = clock(
+                lambda: self._call_fused(
+                    reads, lo, hi, ref_codes, agg, covered_idx
+                )
+            )
             self._exact_engine = (
                 "fused" if t_fused < 0.8 * t_f64 else "f64"
+            )
+            self._trace_decision(
+                f"exact engine: {self._exact_engine} (fused "
+                f"{_ms(t_fused)} vs f64 {_ms(t_f64)}, transfer {_ms(rt)})"
             )
         except Exception:
             self._exact_engine = "f64"
@@ -439,6 +526,104 @@ class CallEngine:
         self._sharded[key] = res
         return res
 
+    def _trace_decision(self, msg: str) -> None:
+        t = getattr(self, "tracer", None)
+        if t is not None:
+            t.progress(msg)
+
+    def _accel_transfer_time(self):
+        """Measured H2D+D2H round-trip for one exact-mode chunk's data
+        volume on the first non-CPU device (cached). Returns None when
+        there is no accelerator, a float in seconds (inf = one chunk's
+        transfers alone exceed the grace window), or _PROBE_UNKNOWN when
+        the probe child could not acquire a device — then the caller
+        races the compiled engine directly, as before the probe existed.
+
+        This is a compile-free lower bound on any accelerator engine's
+        per-chunk cost: the dd/fused kernels compute a 32k-position
+        chunk in microseconds, so transfer decides the race. Probing
+        transfer BEFORE compiling means a tunneled/remote chip — whose
+        round-trip alone exceeds the whole f64 chunk — never triggers
+        the (minutes-long over a tunnel) accelerator compile at all."""
+        proc = self._start_probe()
+        if self._probe_rt is not _UNSET:
+            return self._probe_rt
+        import subprocess
+
+        # the child started ~1.5M positions of runway ago; grant a short
+        # grace so a co-located chip (child total ~3-5s, almost all jax
+        # import) can finish, without ever stalling the pipeline for the
+        # minutes a congested shared tunnel can take
+        try:
+            proc.wait(timeout=5.0)
+        except subprocess.TimeoutExpired:
+            pass
+        txt = ""
+        try:
+            with open(self._probe_file) as f:
+                txt = f.read()
+        except OSError:
+            pass
+        measured = None
+        saw_init = saw_none = False
+        for line in txt.splitlines():
+            if line.startswith("rt "):
+                try:
+                    measured = float(line[3:])
+                except ValueError:
+                    pass
+            elif line.strip() == "init":
+                saw_init = True
+            elif line.strip() == "none":
+                saw_none = True
+        if measured is not None:
+            self._probe_rt = measured
+        elif saw_none:
+            self._probe_rt = None  # child saw no accelerator
+        elif saw_init and proc.poll() is None:
+            # device acquired but one chunk's transfers outlast runway +
+            # grace: transfers alone disqualify the accelerator
+            self._probe_rt = float("inf")
+        else:
+            # child crashed or never got a device (per-process TPU lock)
+            self._probe_rt = _PROBE_UNKNOWN
+        _probe_cleanup(proc, self._probe_file)
+        return self._probe_rt
+
+    def _start_probe(self):
+        """Launch the accelerator transfer probe child (idempotent).
+        Returns the Popen, or None when there is nothing to probe (then
+        self._probe_rt is already resolved)."""
+        if self._probe_proc is not _UNSET:
+            return self._probe_proc
+        self._probe_proc = None
+        try:
+            import atexit
+            import os
+            import subprocess
+            import sys
+            import tempfile
+
+            jax = self._jax[0]
+            if not any(d.platform != "cpu" for d in jax.devices()):
+                self._probe_rt = None
+                return None
+            fd, path = tempfile.mkstemp(prefix="bsc_probe_")
+            os.close(fd)
+            bp = max(self.cfg.batch_positions, 1024)
+            proc = subprocess.Popen(
+                [sys.executable, "-c", _PROBE_SRC, path, str(bp)],
+                stdin=subprocess.DEVNULL,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            atexit.register(_probe_cleanup, proc, path)
+            self._probe_file = path
+            self._probe_proc = proc
+        except Exception:
+            self._probe_rt = _PROBE_UNKNOWN
+        return self._probe_proc
+
     def _auto_engine(self, n_batch: int) -> str:
         """Exact-mode engine selection for device=auto: default to the
         f64 host path, then — once enough positions have flowed to
@@ -455,15 +640,12 @@ class CallEngine:
             return "f64"
         self._exact_pos += n_batch
         if self._exact_pos < 2_000_000:
+            if self._exact_pos >= 500_000:
+                self._start_probe()  # background runway before the race
             return "f64"
         try:
             import time
 
-            jax = self._jax[0]
-            accel = [d for d in jax.devices() if d.platform != "cpu"]
-            if not accel:
-                self._exact_engine = "f64"
-                return "f64"
             bp = self.cfg.batch_positions
             counts, quals, ref = (
                 np.zeros((bp, 8), np.int32),
@@ -479,10 +661,29 @@ class CallEngine:
                     return float("inf")
                 return time.perf_counter() - t0
 
-            t_dd = clock(lambda: self._call_dd(counts, quals, ref))
             t_f64 = clock(lambda: self._call_f64_cpu(counts, quals, ref))
+            # transfer-only precheck: if moving one chunk's data to the
+            # accelerator and back already costs >= 0.8x the whole f64
+            # chunk, no accelerator engine can win — and we never pay
+            # its compile (minutes over a tunneled chip). UNKNOWN = the
+            # probe couldn't see the device: race the real engine.
+            rt = self._accel_transfer_time()
+            if rt is None or (
+                rt is not _PROBE_UNKNOWN and rt >= 0.8 * t_f64
+            ):
+                self._exact_engine = "f64"
+                self._trace_decision(
+                    f"exact engine: f64 (accel transfer "
+                    f"{_ms(rt)} vs f64 chunk {_ms(t_f64)})"
+                )
+                return "f64"
+            t_dd = clock(lambda: self._call_dd(counts, quals, ref))
             self._exact_engine = (
                 "dd" if t_dd < 0.8 * t_f64 else "f64"
+            )
+            self._trace_decision(
+                f"exact engine: {self._exact_engine} (dd {_ms(t_dd)} "
+                f"vs f64 {_ms(t_f64)}, transfer {_ms(rt)})"
             )
         except Exception:
             self._exact_engine = "f64"

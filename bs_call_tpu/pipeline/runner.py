@@ -122,6 +122,7 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
             )
     emitter.vector = vector_emitter
     engine = CallEngine(cfg)
+    engine.tracer = tracer  # -v: engine race decisions
     native = _try_native(
         cfg, table, reader=reader, collect_stats=stats is not None
     )
