@@ -97,6 +97,11 @@ def load():
         lib.bsp_push_eof.argtypes = [ctypes.c_void_p]
         lib.bsp_set_partial.argtypes = [ctypes.c_void_p, ctypes.c_int64]
         lib.bsp_set_partial.restype = None
+        lib.bsp_set_regions.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.bsp_set_regions.restype = ctypes.c_int
         lib.bsp_set_sam_mode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
         ]

@@ -3,6 +3,7 @@
 // See bsc_ingest.cpp for the role description.
 #pragma once
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
@@ -22,6 +23,48 @@ struct CompBlock {
     std::vector<uint8_t> comp;
     uint32_t isize = 0;
 };
+
+// Read one BGZF block at the current file position. Returns false on
+// EOF or a malformed header. *total (optional) receives the block's
+// total compressed size (BSIZE+1), i.e. the file-offset delta to the
+// next block — the unit virtual offsets are built from.
+inline bool read_bgzf_block(FILE *f, CompBlock &b, size_t *total) {
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, f) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    uint16_t xlen = hdr[10] | (hdr[11] << 8);
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, f) != xlen) return false;
+    int bsize = -1;
+    for (int i = 0; i + 4 <= xlen;) {
+        uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+        if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2)
+            bsize = extra[i + 4] | (extra[i + 5] << 8);
+        i += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    size_t csize = (size_t)bsize + 1 - 12 - xlen - 8;
+    b.comp.resize(csize);
+    if (fread(b.comp.data(), 1, csize, f) != csize) return false;
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, f) != 8) return false;
+    b.isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+              ((uint32_t)tail[7] << 24);
+    if (total) *total = (size_t)bsize + 1;
+    return true;
+}
+
+inline void inflate_bgzf_block(const CompBlock &b, uint8_t *dst) {
+    if (b.isize == 0) return;
+    z_stream zs{};
+    inflateInit2(&zs, -15);
+    zs.next_in = const_cast<Bytef *>(b.comp.data());
+    zs.avail_in = (uInt)b.comp.size();
+    zs.next_out = dst;
+    zs.avail_out = b.isize;
+    inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+}
 
 class BgzfStream {
   public:
@@ -69,41 +112,10 @@ class BgzfStream {
     bool eof() const { return eof_; }
 
   private:
-    bool read_block(CompBlock &b) {
-        uint8_t hdr[12];
-        if (fread(hdr, 1, 12, f_) != 12) return false;
-        if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
-        uint16_t xlen = hdr[10] | (hdr[11] << 8);
-        std::vector<uint8_t> extra(xlen);
-        if (fread(extra.data(), 1, xlen, f_) != xlen) return false;
-        int bsize = -1;
-        for (int i = 0; i + 4 <= xlen;) {
-            uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
-            if (extra[i] == 'B' && extra[i + 1] == 'C' && slen == 2)
-                bsize = extra[i + 4] | (extra[i + 5] << 8);
-            i += 4 + slen;
-        }
-        if (bsize < 0) return false;
-        size_t csize = (size_t)bsize + 1 - 12 - xlen - 8;
-        b.comp.resize(csize);
-        if (fread(b.comp.data(), 1, csize, f_) != csize) return false;
-        uint8_t tail[8];
-        if (fread(tail, 1, 8, f_) != 8) return false;
-        b.isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
-                  ((uint32_t)tail[7] << 24);
-        return true;
-    }
+    bool read_block(CompBlock &b) { return read_bgzf_block(f_, b, nullptr); }
 
     static void inflate_block(const CompBlock &b, uint8_t *dst) {
-        if (b.isize == 0) return;
-        z_stream zs{};
-        inflateInit2(&zs, -15);
-        zs.next_in = const_cast<Bytef *>(b.comp.data());
-        zs.avail_in = (uInt)b.comp.size();
-        zs.next_out = dst;
-        zs.avail_out = b.isize;
-        inflate(&zs, Z_FINISH);
-        inflateEnd(&zs);
+        inflate_bgzf_block(b, dst);
     }
 
     FILE *f_;
@@ -121,6 +133,16 @@ struct Reader {
     std::vector<std::string> ref_names;
     std::vector<int32_t> ref_lens;
 
+    // indexed chunk mode (-C regions / per-contig shard seeks): ensure()
+    // draws bytes from one bounded virtual-offset range at a time
+    // (io/bai.py _read_range semantics) instead of the linear stream
+    bool chunk_mode = false;
+    int nthreads = 1;
+    uint64_t chunk_coff = 0;  // compressed offset of the next unread block
+    uint64_t chunk_end = 0;   // end virtual offset (exclusive)
+    size_t chunk_skip = 0;    // bytes to drop from the chunk's first block
+    bool chunk_done = true;
+
     ~Reader() {
         delete stream;
         if (f) fclose(f);
@@ -132,10 +154,96 @@ struct Reader {
                 buf.erase(buf.begin(), buf.begin() + pos);
                 pos = 0;
             }
-            size_t got = stream->fill(buf, n - (buf.size() - pos));
+            size_t want = n - (buf.size() - pos);
+            size_t got =
+                chunk_mode ? fill_chunk(want) : stream->fill(buf, want);
             if (got == 0) return buf.size() - pos >= n;
         }
         return true;
+    }
+
+    // Position the reader at virtual offset vbeg, bounded by vend; the
+    // next ensure() calls serve exactly the uncompressed bytes of
+    // [vbeg, vend) (chunk boundaries delimit whole records, SAM spec).
+    bool open_chunk(uint64_t vbeg, uint64_t vend) {
+        buf.clear();
+        pos = 0;
+        chunk_mode = true;
+        chunk_coff = vbeg >> 16;
+        chunk_skip = (size_t)(vbeg & 0xFFFFu);
+        chunk_end = vend;
+        chunk_done = vbeg >= vend;
+        if (chunk_done) return true;
+        return fseeko(f, (off_t)chunk_coff, SEEK_SET) == 0;
+    }
+
+    // Append up to the chunk's remaining bytes (at least `want` when
+    // available): gather a batch of compressed blocks sequentially,
+    // inflate them in parallel like the linear stream, then append the
+    // in-range window (first-block skip, end-block cut).
+    size_t fill_chunk(size_t want) {
+        size_t added = 0;
+        const uint64_t e_coff = chunk_end >> 16;
+        const size_t e_uoff = (size_t)(chunk_end & 0xFFFFu);
+        while (added < want && !chunk_done) {
+            std::vector<CompBlock> blocks;
+            bool end_block = false;  // batch contains the block at e_coff
+            for (int i = 0; i < 64 && !chunk_done; i++) {
+                if (chunk_coff > e_coff ||
+                    (chunk_coff == e_coff && e_uoff == 0)) {
+                    chunk_done = true;
+                    break;
+                }
+                CompBlock b;
+                size_t total = 0;
+                if (!read_bgzf_block(f, b, &total)) {
+                    chunk_done = true;
+                    break;
+                }
+                bool is_end = chunk_coff == e_coff;
+                chunk_coff += total;
+                blocks.push_back(std::move(b));
+                if (is_end) {
+                    chunk_done = true;
+                    end_block = true;
+                    break;
+                }
+            }
+            if (blocks.empty()) break;
+            size_t nb = blocks.size();
+            std::vector<size_t> offs(nb + 1);
+            offs[0] = 0;
+            for (size_t i = 0; i < nb; i++)
+                offs[i + 1] = offs[i] + blocks[i].isize;
+            std::vector<uint8_t> scratch(offs[nb]);
+            unsigned nt = std::min<size_t>((size_t)nthreads, nb);
+            std::atomic<size_t> next{0};
+            auto worker = [&]() {
+                for (;;) {
+                    size_t i = next.fetch_add(1);
+                    if (i >= nb) break;
+                    inflate_bgzf_block(blocks[i], scratch.data() + offs[i]);
+                }
+            };
+            if (nt <= 1) {
+                worker();
+            } else {
+                std::vector<std::thread> ths;
+                for (unsigned t = 0; t < nt; t++) ths.emplace_back(worker);
+                for (auto &t : ths) t.join();
+            }
+            size_t lo = std::min(chunk_skip, scratch.size());
+            chunk_skip = 0;
+            size_t hi = scratch.size();
+            if (end_block)
+                hi = std::min(offs[nb - 1] + e_uoff, scratch.size());
+            if (hi > lo) {
+                buf.insert(buf.end(), scratch.begin() + lo,
+                           scratch.begin() + hi);
+                added += hi - lo;
+            }
+        }
+        return added;
     }
 
     uint32_t u32() {
@@ -151,6 +259,7 @@ inline Reader *open_reader(const char *path, int nthreads) {
     if (!f) return nullptr;
     Reader *r = new Reader();
     r->f = f;
+    r->nthreads = nthreads > 0 ? nthreads : 1;
     r->stream = new BgzfStream(f, nthreads);
     if (!r->ensure(12) || memcmp(r->buf.data(), "BAM\x01", 4) != 0) {
         delete r;

@@ -558,6 +558,78 @@ struct Pipeline {
     std::vector<const char *> sam_fields;
     std::vector<int64_t> ref_lens;  // per-tid contig lengths (sanity cap)
 
+    // indexed region mode (file input only): replay of the Python
+    // _indexed_region_records generator (pipeline/runner.py) — per
+    // region, seek to its BAI/CSI chunks and stream records overlapping
+    // it, skipping records that start inside an earlier region of the
+    // same contig (already yielded there). Mirrors the reference's
+    // sam_itr_queryi loop (get_template_vector.c:69-101).
+    struct RegSeg {
+        int32_t tid;
+        int64_t beg, end;  // 0-based half-open query window
+        std::vector<std::pair<uint64_t, uint64_t>> chunks;  // voffsets
+        std::vector<std::pair<int64_t, int64_t>> prev;  // 1-based incl.
+    };
+    std::vector<RegSeg> regions;
+    bool region_mode = false;
+    size_t reg_i = 0, chunk_i = 0;
+    bool chunk_open = false;
+    int32_t last_region_id = -1;  // sortedness tracking (blocks.py:196)
+    int32_t rec_region_id = -1;   // region of the current record
+
+    // 1 = record (rec_region_id set), 0 = end of regions, -2 = corrupt
+    int next_region_record(RawRec &rec) {
+        for (;;) {
+            if (reg_i >= regions.size()) return 0;
+            RegSeg &rg = regions[reg_i];
+            if (chunk_i >= rg.chunks.size()) {
+                reg_i++;
+                chunk_i = 0;
+                chunk_open = false;
+                continue;
+            }
+            if (!chunk_open) {
+                if (!r->open_chunk(rg.chunks[chunk_i].first,
+                                   rg.chunks[chunk_i].second))
+                    return -2;
+                chunk_open = true;
+            }
+            if (!next_record(*r, rec)) {
+                if (r->corrupt) return -2;
+                chunk_i++;  // chunk exhausted
+                chunk_open = false;
+                continue;
+            }
+            // the query ends at the first record past the window
+            // (coordinate-sorted input), like io/bai.py query()
+            if (rec.tid != rg.tid || (int64_t)rec.pos >= rg.end) {
+                reg_i++;
+                chunk_i = 0;
+                chunk_open = false;
+                continue;
+            }
+            int64_t span = 0;
+            for (int i = 0; i < rec.n_cigar; i++) {
+                uint32_t v = rec.cigar[i];
+                uint32_t op = v & 0xF;
+                if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                    span += v >> 4;
+            }
+            if (span < 1) span = 1;
+            if ((int64_t)rec.pos + span <= rg.beg) continue;  // no overlap
+            int64_t p1 = (int64_t)rec.pos + 1;
+            bool in_prev = false;
+            for (auto &pv : rg.prev)
+                if (pv.first <= p1 && p1 <= pv.second) {
+                    in_prev = true;
+                    break;
+                }
+            if (in_prev) continue;
+            rec_region_id = (int32_t)reg_i;
+            return 1;
+        }
+    }
+
     void push_bytes(const uint8_t *data, size_t len) {
         if (ppos) {  // compact consumed prefix
             pbuf.erase(pbuf.begin(), pbuf.begin() + ppos);
@@ -874,6 +946,10 @@ struct Pipeline {
                 if (got == 0) return 2;
                 if (got == -2) return -1;  // corrupt stream
                 have_rec = got > 0;
+            } else if (region_mode) {
+                int got = next_region_record(rec);
+                if (got == -2) return -1;  // corrupt stream/seek
+                have_rec = got > 0;
             } else {
                 have_rec = next_record(*r, rec);
                 if (!have_rec && r->corrupt) return -1;
@@ -965,7 +1041,15 @@ struct Pipeline {
                 pending = al;
                 return -1;
             }
-            if (new_contig) last_start = 0;
+            if (new_contig || (region_mode && rec_region_id !=
+                               last_region_id)) {
+                // region change: per-region streams restart the
+                // monotonicity window (blocks.py:196-199 — a later
+                // region's first record may start before the previous
+                // region's last yielded start)
+                last_start = 0;
+                last_region_id = rec_region_id;
+            }
             if (last_start && stp < last_start) {
                 // input is contractually coordinate-sorted; a backwards
                 // jump is corruption (and would grow the open block
@@ -1584,6 +1668,47 @@ int bsp_next_block(void *h, int64_t *meta) {
 // Enable settled-prefix partial staging of open blocks (0 disables).
 void bsp_set_partial(void *h, int64_t limit) {
     ((Pipeline *)h)->partial_limit = limit;
+}
+
+// Indexed region mode (file input only): data is a packed int64 table —
+// [n_regions] then per region [tid, beg, end, n_chunks, n_prev] followed
+// by n_chunks (cb, ce) virtual-offset pairs and n_prev (lo, hi) 1-based
+// inclusive skip intervals. Voffsets fit in int64 (file offsets < 2^47).
+// Returns 1 on success, 0 on malformed payload or non-file pipeline.
+int bsp_set_regions(void *h, const int64_t *data, int64_t len) {
+    Pipeline *p = (Pipeline *)h;
+    if (!p->r || p->push_mode) return 0;
+    const int64_t *q = data, *end = data + len;
+    if (q >= end) return 0;
+    int64_t n = *q++;
+    if (n < 0) return 0;
+    std::vector<Pipeline::RegSeg> regs;
+    try {
+        for (int64_t i = 0; i < n; i++) {
+            if (end - q < 5) return 0;
+            Pipeline::RegSeg rg;
+            rg.tid = (int32_t)q[0];
+            rg.beg = q[1];
+            rg.end = q[2];
+            int64_t nc = q[3], np = q[4];
+            q += 5;
+            if (nc < 0 || np < 0 || end - q < 2 * (nc + np)) return 0;
+            for (int64_t c = 0; c < nc; c++) {
+                rg.chunks.emplace_back((uint64_t)q[0], (uint64_t)q[1]);
+                q += 2;
+            }
+            for (int64_t c = 0; c < np; c++) {
+                rg.prev.emplace_back(q[0], q[1]);
+                q += 2;
+            }
+            regs.push_back(std::move(rg));
+        }
+    } catch (...) {
+        return 0;
+    }
+    p->regions = std::move(regs);
+    p->region_mode = true;
+    return 1;
 }
 
 // Push-mode pipeline: records arrive as raw BAM record blobs

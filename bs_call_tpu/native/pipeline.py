@@ -18,12 +18,15 @@ class NativePipeline:
     build_pileup chain."""
 
     def __init__(self, path: str, cfg: CallerConfig, tid_keep: np.ndarray,
-                 collect_stats: bool = False, threads: int = 4):
+                 collect_stats: bool = False, threads: int = 4,
+                 regions: Optional[np.ndarray] = None):
+        """regions: packed int64 region table for indexed -C iteration
+        (see runner._pack_native_regions); None = linear whole-file scan."""
         lib = load()
         if lib is None:
             raise RuntimeError("native pipeline unavailable")
         self._lib = lib
-        self._args = (path, cfg, tid_keep, threads)
+        self._args = (path, cfg, tid_keep, threads, regions)
         keep = np.ascontiguousarray(tid_keep, dtype=np.int8)
         self._h = lib.bsp_open(
             path.encode(),
@@ -45,6 +48,16 @@ class NativePipeline:
         )
         if not self._h:
             raise ValueError(f"{path}: cannot open")
+        if regions is not None:
+            payload = np.ascontiguousarray(regions, dtype=np.int64)
+            ok = lib.bsp_set_regions(
+                ctypes.c_void_p(self._h),
+                payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(payload),
+            )
+            if not ok:
+                self.close()
+                raise ValueError("malformed native region table")
         self.stats_on = bool(collect_stats)
         self.header = BamHeader(
             text=lib.bsp_header_text(ctypes.c_void_p(self._h)).decode(),
@@ -200,11 +213,11 @@ class NativePipeline:
 
     def reopen(self, collect_stats: bool) -> "NativePipeline":
         """Fresh pipeline over the same input (used to turn on stats)."""
-        path, cfg, tid_keep, threads = self._args
+        path, cfg, tid_keep, threads, regions = self._args
         self.close()
         return NativePipeline(
             path, cfg, tid_keep, collect_stats=collect_stats,
-            threads=threads,
+            threads=threads, regions=regions,
         )
 
 

@@ -104,6 +104,37 @@ def _worker(args):
         os.unlink(bed_path)
 
 
+def _ensure_bam_index(path: str) -> None:
+    """Build a .bai for the input BAM when none exists: every shard
+    worker then seeks straight to its contigs' chunks instead of
+    classifying the whole file past tid_keep (the one-pass index build
+    costs far less than N workers × a full scan). Quietly skipped for
+    non-BAM/unwritable inputs — workers fall back to the linear scan."""
+    if not path or path == "-":
+        return
+    if os.path.exists(path + ".bai") or os.path.exists(path + ".csi"):
+        return
+    try:
+        from bs_call_tpu.io.bgzf import is_gzip
+
+        if not is_gzip(path):
+            return
+        import gzip
+
+        with gzip.open(path, "rb") as f:
+            if f.read(4) != b"BAM\x01":
+                return
+        from bs_call_tpu.io.bai import write_bai
+
+        # build-to-temp + rename: a crash mid-write must not leave a
+        # truncated .bai that later runs would trust
+        tmp = f"{path}.bai.tmp{os.getpid()}"
+        write_bai(path, tmp)
+        os.replace(tmp, path + ".bai")
+    except Exception:
+        pass  # unindexable/corrupt/read-only dir: linear scan still works
+
+
 def run_sharded(
     cfg: CallerConfig,
     n_shards: int,
@@ -127,6 +158,7 @@ def run_sharded(
     ]
     if hasattr(reader, "close"):
         reader.close()
+    _ensure_bam_index(cfg.input_file)
     shards = partition_contigs(universe, n_shards)
     tmpdir = tempfile.mkdtemp(prefix="bs_call_shards_")
     sizes_path = os.path.join(tmpdir, "sizes.txt")

@@ -202,16 +202,63 @@ def _whole_contig_regions(table) -> bool:
     )
 
 
+def _pack_native_regions(cfg, table):
+    """Packed int64 region table for the C++ indexed iterator (None when
+    no usable .bai/.csi exists). One entry per -C region in processing
+    order: 0-based query window, merged index chunks, and the previous
+    same-contig regions whose records were already yielded — the exact
+    replay of _indexed_region_records / the reference's per-region
+    sam_itr_queryi loop (get_template_vector.c:69-101)."""
+    import os
+
+    try:
+        if os.path.exists(cfg.input_file + ".bai"):
+            from bs_call_tpu.io.bai import BaiIndex
+
+            idx = BaiIndex(cfg.input_file + ".bai")
+        elif os.path.exists(cfg.input_file + ".csi"):
+            from bs_call_tpu.io.csi import CsiIndex
+
+            idx = CsiIndex(cfg.input_file + ".csi")
+        else:
+            return None
+    except (ValueError, OSError):
+        return None
+    out = [len(table.regions)]
+    for reg in table.regions:
+        tid = reg.ctg.bam_tid
+        beg, end = reg.start - 1, reg.stop
+        chunks = idx.chunks_for(tid, beg, end)
+        prev = [
+            (r.start, r.stop)
+            for r in reg.ctg.regions
+            if r.stop < reg.start
+        ]
+        out += [tid, beg, end, len(chunks), len(prev)]
+        for cb, ce in chunks:
+            out += [cb, ce]
+        for lo, hi in prev:
+            out += [lo, hi]
+    return np.asarray(out, dtype=np.int64)
+
+
 def _try_native(cfg, table, reader=None, collect_stats=False):
-    """The C++ pipeline handles whole-file runs and whole-contig shard
-    runs (partial regions go through the Python path, which pre-filters
-    the record stream). BAM files stream through the C++ decoder
-    directly; CRAM and SAM decode host-side and feed the same block
-    builder through push mode; stdin BAM pipes forward their
-    decompressed bytes verbatim."""
+    """The C++ pipeline handles whole-file runs, and — through the
+    indexed region iterator — -C region runs over indexed BAMs,
+    including the whole-contig shard pattern (then it also seeks past
+    other contigs' records instead of scanning them). Partial regions
+    without a .bai/.csi, and partial regions over CRAM/SAM, go through
+    the Python path, which pre-filters the record stream. BAM files
+    stream through the C++ decoder directly; CRAM and SAM decode
+    host-side and feed the same block builder through push mode; stdin
+    BAM pipes forward their decompressed bytes verbatim."""
     if cfg.device == "numpy" or not cfg.input_file:
         return None
-    if table.regions and not _whole_contig_regions(table):
+    partial = bool(table.regions) and not _whole_contig_regions(table)
+    regions_payload = None
+    if table.regions and cfg.input_file != "-":
+        regions_payload = _pack_native_regions(cfg, table)
+    if partial and regions_payload is None:
         return None
     try:
         from bs_call_tpu.native.pipeline import (
@@ -262,11 +309,14 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
 
         with gzip.open(cfg.input_file, "rb") as f:
             is_bam = f.read(4) == b"BAM\x01"
+    if partial and not is_bam:
+        return None  # indexed region replay is a BAM-file feature
     try:
         if is_bam:
             return NativePipeline(
                 cfg.input_file, cfg, tid_keep,
                 collect_stats=collect_stats, threads=in_threads,
+                regions=regions_payload,
             )
         if magic == b"CRAM":
             # fully native record path: C++ slice decoder -> C++ builder
