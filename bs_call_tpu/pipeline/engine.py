@@ -47,7 +47,7 @@ accel = [d for d in jax.devices() if d.platform != "cpu"]
 if not accel:
     out.write("none\\n")
     sys.exit(0)
-out.write("init\\n")
+out.write("init %r\\n" % time.time())
 h2d = [np.zeros((bp, 8), np.int32), np.zeros((bp, 8), np.int32),
        np.zeros(bp, np.int32)]
 d2h = jax.device_put(np.zeros((bp, 20), np.float32), accel[0])
@@ -60,6 +60,63 @@ for a in h2d:
 np.asarray(d2h)
 out.write("rt %r\\n" % (time.perf_counter() - t0))
 """
+
+
+def _probe_env_key(bp: int) -> str:
+    """Per-host device fingerprint that does NOT initialize any jax
+    backend: consulting the cache must never touch the accelerator —
+    initializing a tunneled client mid-run has been observed to block
+    for seconds while the tunnel is busy."""
+    import os
+
+    return (
+        f"{os.uname().nodename}:{os.environ.get('JAX_PLATFORMS', '')}:"
+        f"{bp}"
+    )
+
+
+def _probe_cache_path(key: str) -> str:
+    import hashlib
+    import tempfile
+
+    h = hashlib.sha1(key.encode()).hexdigest()[:16]
+    return f"{tempfile.gettempdir()}/bsc_probe_cache_{h}.json"
+
+
+def _probe_cache_read(key: str):
+    """Cached transfer verdict for this device fingerprint, or None.
+    Finite measurements live 24h; an 'inf' (transfers disqualify)
+    verdict lives 1h — a congested tunnel may recover."""
+    import json
+    import os
+    import time
+
+    try:
+        with open(_probe_cache_path(key)) as f:
+            d = json.load(f)
+        age = time.time() - d["t"]
+        rt = float(d["rt"])
+        if age < (3600 if rt == float("inf") else 86400):
+            return rt
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
+
+
+def _probe_cache_write(key: str, rt: float) -> None:
+    import json
+    import os
+    import time
+
+    path = _probe_cache_path(key)
+    try:
+        tmp = f"{path}.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"t": time.time(), "rt": repr(rt) if rt ==
+                       float("inf") else rt}, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _probe_cleanup(proc, path):
@@ -146,6 +203,7 @@ class CallEngine:
         self._fast_broken = False
         self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
         self._exact_engine = None  # auto exact engine ("f64"|"dd"|"fused")
+        self._fast_engine = None  # auto non-exact backend ("accel"|"cpu")
         self._exact_pos = 0  # positions processed before the race
         self._chunk_pool = None  # chunk-dispatch thread pool (lazy)
         self._fused_broken = False
@@ -154,6 +212,7 @@ class CallEngine:
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
         self._probe_file = None  # the child's result file
+        self._probe_key = ""  # device fingerprint for the disk cache
         self.tracer = None  # set by the runner for -v observability
         if cfg.device != "numpy":
             try:
@@ -223,7 +282,8 @@ class CallEngine:
             if not self._fast_broken:
                 try:
                     res = self._chunked_call(
-                        counts, quals, ref, jnp.float32
+                        counts, quals, ref, jnp.float32,
+                        backend=self._fast_backend(),
                     )
                 except Exception:
                     # default backend unusable (e.g. accelerator plugin
@@ -294,6 +354,15 @@ class CallEngine:
         if self._exact_engine is not None:
             return self._exact_engine == "fused"
         try:
+            # a cached transfer verdict decides WITHOUT initializing the
+            # accelerator client (a tunneled init mid-run can block for
+            # seconds): transfers that lose to the f64 host chunk mean
+            # the fused tier can never engage, so skip the read exports
+            cached = _probe_cache_read(
+                _probe_env_key(max(self.cfg.batch_positions, 1024))
+            )
+            if cached is not None:
+                return cached != float("inf")
             jax = self._jax[0]
             return any(d.platform != "cpu" for d in jax.devices())
         except Exception:
@@ -460,7 +529,7 @@ class CallEngine:
             # tensors out); if the round-trip alone loses to the f64
             # chunk, skip the fused compile entirely (UNKNOWN = the
             # probe couldn't see the device: race the real engine)
-            rt = self._accel_transfer_time()
+            rt = self._accel_transfer_time(t_f64)
             if rt is None or (
                 rt is not _PROBE_UNKNOWN and rt >= 0.8 * t_f64
             ):
@@ -531,62 +600,87 @@ class CallEngine:
         if t is not None:
             t.progress(msg)
 
-    def _accel_transfer_time(self):
-        """Measured H2D+D2H round-trip for one exact-mode chunk's data
-        volume on the first non-CPU device (cached). Returns None when
-        there is no accelerator, a float in seconds (inf = one chunk's
-        transfers alone exceed the grace window), or _PROBE_UNKNOWN when
-        the probe child could not acquire a device — then the caller
-        races the compiled engine directly, as before the probe existed.
-
-        This is a compile-free lower bound on any accelerator engine's
-        per-chunk cost: the dd/fused kernels compute a 32k-position
-        chunk in microseconds, so transfer decides the race. Probing
-        transfer BEFORE compiling means a tunneled/remote chip — whose
-        round-trip alone exceeds the whole f64 chunk — never triggers
-        the (minutes-long over a tunnel) accelerator compile at all."""
-        proc = self._start_probe()
-        if self._probe_rt is not _UNSET:
-            return self._probe_rt
-        import subprocess
-
-        # the child started ~1.5M positions of runway ago; grant a short
-        # grace so a co-located chip (child total ~3-5s, almost all jax
-        # import) can finish, without ever stalling the pipeline for the
-        # minutes a congested shared tunnel can take
-        try:
-            proc.wait(timeout=5.0)
-        except subprocess.TimeoutExpired:
-            pass
+    def _read_probe_file(self):
+        """(measured_rt | None, init_walltime | None, saw_none)."""
         txt = ""
         try:
             with open(self._probe_file) as f:
                 txt = f.read()
         except OSError:
             pass
-        measured = None
-        saw_init = saw_none = False
+        measured = init_t = None
+        saw_none = False
         for line in txt.splitlines():
-            if line.startswith("rt "):
-                try:
+            try:
+                if line.startswith("rt "):
                     measured = float(line[3:])
-                except ValueError:
-                    pass
-            elif line.strip() == "init":
-                saw_init = True
-            elif line.strip() == "none":
-                saw_none = True
-        if measured is not None:
-            self._probe_rt = measured
-        elif saw_none:
-            self._probe_rt = None  # child saw no accelerator
-        elif saw_init and proc.poll() is None:
-            # device acquired but one chunk's transfers outlast runway +
-            # grace: transfers alone disqualify the accelerator
-            self._probe_rt = float("inf")
-        else:
-            # child crashed or never got a device (per-process TPU lock)
+                elif line.startswith("init "):
+                    init_t = float(line[5:])
+                elif line.strip() == "none":
+                    saw_none = True
+            except ValueError:
+                pass
+        return measured, init_t, saw_none
+
+    def _accel_transfer_time(self, t_f64):
+        """Measured H2D+D2H round-trip for one exact-mode chunk's data
+        volume on the first non-CPU device (cached in-process and on
+        disk). Returns None when there is no accelerator, a float in
+        seconds (inf = transfers alone disqualify), or _PROBE_UNKNOWN
+        when the probe child could not acquire a device — then the
+        caller races the compiled engine directly, as before the probe
+        existed. t_f64 is the measured per-chunk cost of the f64 host
+        engine: the decision threshold the bound below is scaled by.
+
+        This is a compile-free lower bound on any accelerator engine's
+        per-chunk cost: the dd/fused kernels compute a 32k-position
+        chunk in microseconds, so transfer decides the race. Probing
+        transfer BEFORE compiling means a tunneled/remote chip — whose
+        round-trip alone exceeds the whole f64 chunk — never triggers
+        the (minutes-long over a tunnel) accelerator compile at all.
+
+        The wait is adaptive, never a fixed stall: the child timestamps
+        the moment it acquired the device ('init'); once its transfers
+        have been in flight longer than max(0.5s, 20 * t_f64) they
+        cannot win the 0.8 * t_f64 threshold, so the verdict is 'inf'
+        without waiting for the (possibly minutes-long) round-trip to
+        finish. Verdicts are cached on disk so repeat runs on the same
+        host skip even that bounded wait."""
+        import time
+
+        proc = self._start_probe()
+        if self._probe_rt is not _UNSET:
+            return self._probe_rt
+        if proc is None:  # unreachable guard: no child and no verdict
             self._probe_rt = _PROBE_UNKNOWN
+            return self._probe_rt
+        bound = max(0.5, 20.0 * t_f64)
+        deadline_init = time.time() + 3.0  # child may still import jax
+        verdict = _UNSET
+        while verdict is _UNSET:
+            measured, init_t, saw_none = self._read_probe_file()
+            now = time.time()
+            if measured is not None:
+                verdict = measured
+            elif saw_none:
+                verdict = None
+            elif proc.poll() is not None:
+                # exited without a measurement: crashed or device denied
+                verdict = _PROBE_UNKNOWN
+            elif init_t is not None:
+                if now - init_t > bound:
+                    verdict = float("inf")  # in-flight > bound: can't win
+                else:
+                    time.sleep(0.05)
+            elif now > deadline_init:
+                # never acquired a device (e.g. a per-process TPU lock
+                # blocks the child): cost unknowable from outside
+                verdict = _PROBE_UNKNOWN
+            else:
+                time.sleep(0.05)
+        self._probe_rt = verdict
+        if verdict is not None and verdict is not _PROBE_UNKNOWN:
+            _probe_cache_write(self._probe_key, verdict)
         _probe_cleanup(proc, self._probe_file)
         return self._probe_rt
 
@@ -604,13 +698,20 @@ class CallEngine:
             import sys
             import tempfile
 
+            bp = max(self.cfg.batch_positions, 1024)
+            self._probe_key = _probe_env_key(bp)
+            cached = _probe_cache_read(self._probe_key)
+            if cached is not None:
+                # cache first, devices second: a cache hit must not
+                # initialize the accelerator client at all
+                self._probe_rt = cached
+                return None
             jax = self._jax[0]
             if not any(d.platform != "cpu" for d in jax.devices()):
                 self._probe_rt = None
                 return None
             fd, path = tempfile.mkstemp(prefix="bsc_probe_")
             os.close(fd)
-            bp = max(self.cfg.batch_positions, 1024)
             proc = subprocess.Popen(
                 [sys.executable, "-c", _PROBE_SRC, path, str(bp)],
                 stdin=subprocess.DEVNULL,
@@ -667,7 +768,7 @@ class CallEngine:
             # chunk, no accelerator engine can win — and we never pay
             # its compile (minutes over a tunneled chip). UNKNOWN = the
             # probe couldn't see the device: race the real engine.
-            rt = self._accel_transfer_time()
+            rt = self._accel_transfer_time(t_f64)
             if rt is None or (
                 rt is not _PROBE_UNKNOWN and rt >= 0.8 * t_f64
             ):
@@ -736,6 +837,35 @@ class CallEngine:
         while inflight:
             drain()
         return gt_prob, max_gt, margin, off
+
+    def _fast_backend(self):
+        """Backend for the non-exact f32 path under device=auto: the
+        same transfer verdict as exact mode decides whether per-chunk
+        transfers to the default accelerator can beat the host CPU at
+        all. A tunneled/remote chip (round-trip >> chunk compute) makes
+        the accelerated fast path pathologically slow — observed 14x
+        slower than the CPU backend — so chunks run on the CPU until a
+        measured verdict says the accelerator link is fast (< 50 ms per
+        chunk round-trip). Returns None for the default backend, or
+        "cpu"."""
+        if self.cfg.device != "auto" or self._jax is None:
+            return None
+        if self._fast_engine is None:
+            try:
+                rt = self._accel_transfer_time(0.025)
+            except Exception:
+                rt = _PROBE_UNKNOWN
+            if rt is None or rt is _PROBE_UNKNOWN:
+                # no accelerator (default backend IS the cpu) / probe
+                # child could not see the device: old behavior
+                self._fast_engine = "accel"
+            else:
+                self._fast_engine = "accel" if rt < 0.05 else "cpu"
+            self._trace_decision(
+                f"fast engine: {self._fast_engine} "
+                f"(accel transfer {_ms(rt)})"
+            )
+        return None if self._fast_engine == "accel" else "cpu"
 
     def _chunked_call(self, counts, quals, ref, dtype, backend=None):
         """Run the jitted kernel over fixed-size chunks so exactly one
