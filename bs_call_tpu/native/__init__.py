@@ -102,6 +102,47 @@ def load():
             ctypes.c_int64,
         ]
         lib.bsp_set_regions.restype = ctypes.c_int
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.bsc_stats_acc_new.restype = ctypes.c_void_p
+        lib.bsc_stats_acc_new.argtypes = [u8p, u8p, u8p, i32p, u8p, u8p,
+                                          f64p]
+        lib.bsc_stats_acc_free.argtypes = [ctypes.c_void_p]
+        lib.bsc_stats_acc_cov.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i32p, u8p, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.bsc_stats_acc_cov.restype = None
+        lib.bsc_stats_acc_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, i64p, i32p,
+            i32p, i32p, i32p, i64p, i32p, i32p, i32p, u8p, u8p, i32p,
+            i64p, u8p,
+        ]
+        lib.bsc_stats_acc_rows.restype = None
+        lib.bsc_stats_acc_cov_size.restype = ctypes.c_int64
+        lib.bsc_stats_acc_cov_size.argtypes = [ctypes.c_void_p]
+        lib.bsc_stats_acc_cov_dump.argtypes = [
+            ctypes.c_void_p, i64p, i64p, i64p, i64p, i64p, i64p,
+        ]
+        lib.bsc_stats_acc_cov_dump.restype = None
+        lib.bsc_stats_acc_map_size.restype = ctypes.c_int64
+        lib.bsc_stats_acc_map_size.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.bsc_stats_acc_map_dump.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, i64p,
+        ]
+        lib.bsc_stats_acc_map_dump.restype = None
+        lib.bsc_stats_acc_fixed.argtypes = [
+            ctypes.c_void_p, i64p, i64p, f64p, i64p, i64p, i64p,
+        ]
+        lib.bsc_stats_acc_fixed.restype = None
+        lib.bsc_stats_acc_nctg.restype = ctypes.c_int64
+        lib.bsc_stats_acc_nctg.argtypes = [ctypes.c_void_p]
+        lib.bsc_stats_acc_ctg_dump.argtypes = [ctypes.c_void_p, i64p, i64p]
+        lib.bsc_stats_acc_ctg_dump.restype = None
         lib.bsp_set_sam_mode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
         ]

@@ -359,6 +359,16 @@ class VectorBlockEmitter:
         self.old_x = 0
         self.prev_cpg_x = 0
         self.prev_cpg_flt = False
+        self._nacc = None  # native stats accumulator (lazy)
+        self._nacc_tried = False
+
+    def finalize_stats(self, table) -> None:
+        """Fold natively accumulated report counters into self.stats
+        (no-op on the pure-numpy path). Must run before the stats are
+        reported, pickled to a shard parent, or psum-merged."""
+        if self._nacc is not None:
+            self._nacc.merge_into(self.stats, table)
+            self._nacc = None
 
     def emit_block(self, ctg, soa, ref_window, x: int, y: int,
                    hold_back: int = 0) -> None:
@@ -616,8 +626,21 @@ class VectorBlockEmitter:
         self, ctg, soa, pos, reach, idx, g, r, rf7, phred, qd, fs_int,
         mq, flt, mac1, counts, cond_cg, rs_present, rs_selected,
     ):
-        """Vectorized transcription of the stats block of _print_vcf_entry
-        (print_vcf.c:382-526)."""
+        """Stats block of _print_vcf_entry (print_vcf.c:382-526): one
+        native C++ pass when available (stats/native_acc.py), else the
+        vectorized numpy transcription below (also forced by
+        BS_CALL_PY_STATS=1, the parity-test switch)."""
+        if not self._nacc_tried:
+            self._nacc_tried = True
+            from bs_call_tpu.stats.native_acc import NativeStatsAcc
+
+            self._nacc = NativeStatsAcc.create()
+        if self._nacc is not None:
+            self._nacc.accumulate(
+                self, ctg, soa, pos, reach, idx, g, r, rf7, phred, qd,
+                fs_int, mq, flt, mac1, counts, cond_cg, rs_present,
+            )
+            return
         stats = self.stats
         ctg_stats = ctg.ctg_stats
         all_counts = soa["counts"]

@@ -139,6 +139,10 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     writer.close()
     if close_out:
         out_fileobj.close()
+    if vector_emitter is not None and stats is not None:
+        # fold natively accumulated report counters into the Python
+        # BsStats before anyone reports/pickles/psums it
+        vector_emitter.finalize_stats(table)
     tracer.report()
     return stats, table
 
