@@ -17,6 +17,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_stats.cpp"),
     os.path.join(_DIR, "bsc_cram.cpp"),
     os.path.join(_DIR, "bsc_emit.cpp"),
+    os.path.join(_DIR, "bsc_model.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -143,6 +144,17 @@ def load():
         lib.bsc_stats_acc_nctg.argtypes = [ctypes.c_void_p]
         lib.bsc_stats_acc_ctg_dump.argtypes = [ctypes.c_void_p, i64p, i64p]
         lib.bsc_stats_acc_ctg_dump.restype = None
+        lib.bsc_model_new.restype = ctypes.c_void_p
+        lib.bsc_model_new.argtypes = [
+            ctypes.c_int64, f64p, f64p, f64p, f64p, f64p,
+            ctypes.c_double, ctypes.c_double,
+        ]
+        lib.bsc_model_free.argtypes = [ctypes.c_void_p]
+        lib.bsc_model_call.restype = None
+        lib.bsc_model_call.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, i32p, i32p, i32p,
+            ctypes.c_int32, f64p, i32p, f64p, f64p,
+        ]
         lib.bsp_set_sam_mode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64
         ]

@@ -51,18 +51,24 @@ def _worker(args):
             os.sched_setaffinity(0, cpu_ids)
         except (AttributeError, OSError):
             pass
-    # Workers compute on the host CPU backend (exact mode is f64-on-CPU;
-    # the fast f32 path over a tunneled accelerator is transfer-bound
-    # anyway). Pinning the platform BEFORE any backend touch also avoids
-    # N spawned processes fighting over one axon TPU tunnel, which
-    # deadlocks backend init. (The env var alone doesn't stick — a
-    # sitecustomize can pin the platform — so set it via jax.config.)
-    try:
-        import jax
+    # Workers compute on the host CPU (exact mode is the native C++ f64
+    # kernel; the fast f32 path over a tunneled accelerator is
+    # transfer-bound anyway). Pinning the platform to cpu BEFORE any
+    # backend touch also avoids N spawned processes fighting over one
+    # tunneled TPU client, which deadlocks backend init. Importing jax
+    # here would cost ~0.6s per worker, so: when a sitecustomize already
+    # preimported it, pin via jax.config (the env var alone doesn't
+    # stick then); otherwise just set the env var and let the engine
+    # skip the import entirely (its host engine is native C++).
+    import sys as _sys
 
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+    if "jax" in _sys.modules:
+        try:
+            _sys.modules["jax"].config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    else:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
     cfg = CallerConfig(**cfg_dict)
     if cfg.device == "tpu":
         cfg.device = "auto"  # no accelerator inside shard workers
@@ -192,9 +198,29 @@ def run_sharded(
         jobs.append((dict(cfg_dict), shard, sizes_path, out_path,
                      collect_stats, cpu_ids))
     if pool is None:
-        # spawn: forking after JAX/TPU backend initialization deadlocks
+        # spawn: forking after JAX/TPU backend initialization deadlocks.
+        # Children spawn with PYTHONPATH unset and the jax platform
+        # pinned to cpu: PYTHONPATH's only interpreter-startup job is
+        # sitecustomize (e.g. an accelerator-plugin preimport costing
+        # ~0.6s per process that cpu-pinned workers never use), while
+        # module RESOLUTION is unaffected — multiprocessing ships the
+        # parent's sys.path to spawned children in its preparation data.
         ctx = mp.get_context("spawn")
-        with ctx.Pool(len(jobs)) as p:
+        saved = {
+            k: os.environ.get(k)
+            for k in ("PYTHONPATH", "JAX_PLATFORMS")
+        }
+        os.environ.pop("PYTHONPATH", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            p = ctx.Pool(len(jobs))
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        with p:
             results = p.map(_worker, jobs)
     else:
         results = pool.map(_worker, jobs)
@@ -220,6 +246,7 @@ def run_sharded(
         contig_order=[n for n, _ in universe],
         out_file_type=final_type,
         threads=cfg.threads,
+        trusted=True,  # workers emit whole contigs in global order
     )
     ordered = [
         (name, ctg_stats_all[name])
@@ -229,13 +256,121 @@ def run_sharded(
     return merged, ordered
 
 
+def _text_contig_segments(path, contig_order, order):
+    """Byte ranges of each contig's record run in one text-VCF shard.
+    Returns (header_end, [(rank, start, end), ...]) or None when the
+    file isn't plain text or its contig runs aren't in global order.
+
+    '\\n' occurs only at line ends, so the first occurrence of
+    b'\\n<name>\\t' IS the first record of <name> — located at
+    memchr speed, no per-line parsing."""
+    import mmap
+    import os as _os
+
+    size = _os.path.getsize(path)
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if head == b"\x1f\x8b":
+            return None  # compressed shard: generic path
+        if size == 0:
+            return 0, []
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            hdr_tail = mm.find(b"\n#CHROM")
+            if hdr_tail < 0:
+                # headerless or foreign: records (if any) start at 0
+                header_end = 0
+            else:
+                nl = mm.find(b"\n", hdr_tail + 1)
+                header_end = size if nl < 0 else nl + 1
+            found = []
+            for name in contig_order:
+                pat = b"\n" + name.encode() + b"\t"
+                off = mm.find(pat, max(header_end - 1, 0))
+                if off >= 0:
+                    found.append((order[name], off + 1))
+            found.sort(key=lambda t: t[1])
+            ranks = [r for r, _ in found]
+            if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
+                return None  # out-of-order runs: generic merge
+            segs = []
+            for i, (rank, start) in enumerate(found):
+                end = found[i + 1][1] if i + 1 < len(found) else size
+                segs.append((rank, start, end))
+            # all record bytes must be accounted for (a record of a
+            # contig NOT in contig_order would be silently dropped)
+            if segs and segs[0][1] != header_end:
+                return None
+            if not segs and header_end != size:
+                return None
+            return header_end, segs
+        finally:
+            mm.close()
+
+
+def _fast_concat_text(paths, output, contig_order, order, out, raw):
+    """Trusted-producer concat: raw byte-range copies of whole-contig
+    record runs, ordered by global contig rank — no record parsing.
+    Returns False (caller falls back) when any input doesn't qualify or
+    two files both carry the same contig."""
+    plans = []
+    for p in paths:
+        plan = _text_contig_segments(p, contig_order, order)
+        if plan is None:
+            return False
+        plans.append(plan)
+    all_segs = []
+    for p, (_, segs) in zip(paths, plans):
+        for rank, start, end in segs:
+            all_segs.append((rank, p, start, end))
+    ranks = [s[0] for s in all_segs]
+    if len(set(ranks)) != len(ranks):
+        return False  # a contig split across shards: record-level merge
+    all_segs.sort()
+    with open(paths[0], "rb") as f:
+        out.write(f.read(plans[0][0]))  # header verbatim from file 0
+    use_sendfile = out is raw
+    for _, p, start, end in all_segs:
+        with open(p, "rb") as f:
+            if use_sendfile:
+                raw.flush()
+                n = end - start
+                while n > 0:
+                    sent = os.sendfile(
+                        raw.fileno(), f.fileno(), end - n, n
+                    )
+                    if sent <= 0:
+                        break
+                    n -= sent
+                if n > 0:  # sendfile unsupported here: plain copy
+                    f.seek(end - n)
+                    out.write(f.read(n))
+            else:
+                f.seek(start)
+                left = end - start
+                while left > 0:
+                    chunk = f.read(min(left, 8 << 20))
+                    if not chunk:
+                        raise ValueError(f"{p}: truncated during concat")
+                    out.write(chunk)
+                    left -= len(chunk)
+    return True
+
+
 def concat_vcfs(paths: List[str], output: str, contig_order=None,
-                out_file_type=None, threads: int = 0):
+                out_file_type=None, threads: int = 0,
+                trusted: bool = False):
     """Concatenate uniform-header shard outputs (the `bcftools concat -n`
     analogue): header from the first file, records from all, re-sorted by
     (contig order, position) across files when contig_order is given.
     Shards are text VCF (for v/z finals) or raw BCF (for u/b finals);
-    the final stream is encoded per out_file_type."""
+    the final stream is encoded per out_file_type.
+
+    trusted=True (the in-process shard/multihost runners, whose workers
+    provably emit whole contigs in global order) switches plain-text
+    inputs to contig-granular raw byte copies — no per-record parse or
+    sort validation; anything irregular falls back to the validated
+    record-level merge below."""
     from bs_call_tpu import constants as C
 
     if out_file_type is None:
@@ -257,6 +392,27 @@ def concat_vcfs(paths: List[str], output: str, contig_order=None,
         out = BgzfWriter(raw, threads=threads)
     else:
         out = raw
+    if trusted and order is not None:
+        try:
+            done = _fast_concat_text(
+                paths, output, contig_order, order, out, raw
+            )
+        except (OSError, ValueError):
+            done = False
+        if done:
+            if out is not raw:
+                out.close()
+            raw.close()
+            return
+        # irregular input: restart the output for the generic merge
+        if out is raw:
+            raw.seek(0)
+            raw.truncate()
+        else:
+            out.close()
+            raw.close()
+            raw = open(output, "wb")
+            out = BgzfWriter(raw, threads=threads)
 
     def _records(path, write_header):
         # each shard file is internally sorted by (global contig rank,

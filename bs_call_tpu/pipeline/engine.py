@@ -199,7 +199,8 @@ class CallEngine:
     def __init__(self, cfg: CallerConfig):
         self.cfg = cfg
         self._params = None
-        self._jax = None
+        self._jax_state = _UNSET  # lazily imported, see _jax
+        self._prefer_xla = None  # virtual-mesh f64 preference (cached)
         self._fast_broken = False
         self._sharded = {}  # (kind, backend) -> (mesh, jitted fn) | None
         self._exact_engine = None  # auto exact engine ("f64"|"dd"|"fused")
@@ -214,22 +215,37 @@ class CallEngine:
         self._probe_file = None  # the child's result file
         self._probe_key = ""  # device fingerprint for the disk cache
         self.tracer = None  # set by the runner for -v observability
-        if cfg.device != "numpy":
-            try:
-                import jax
-                import jax.numpy as jnp
 
-                from bs_call_tpu.ops.genotype import ModelParams, call_genotypes
+    @property
+    def _jax(self):
+        """(jax, jnp, call_genotypes) or None — imported on FIRST USE,
+        not at engine construction: the default exact path is the
+        native C++ host kernel (_call_native_f64), so a cpu-pinned
+        process (shard workers, report-only reruns) never pays the jax
+        import or backend init at all. Reading this property past the
+        cheap gates below is what triggers the import."""
+        if self._jax_state is _UNSET:
+            self._jax_state = None
+            if self.cfg.device != "numpy":
+                try:
+                    import jax
+                    import jax.numpy as jnp
 
-                _enable_compilation_cache(jax)
-                self._jax = (jax, jnp, call_genotypes)
-                self._params = ModelParams(
-                    under_conv=cfg.under_conv,
-                    over_conv=cfg.over_conv,
-                    ref_bias=cfg.ref_bias,
-                )
-            except Exception:
-                self._jax = None
+                    from bs_call_tpu.ops.genotype import (
+                        ModelParams,
+                        call_genotypes,
+                    )
+
+                    _enable_compilation_cache(jax)
+                    self._params = ModelParams(
+                        under_conv=self.cfg.under_conv,
+                        over_conv=self.cfg.over_conv,
+                        ref_bias=self.cfg.ref_bias,
+                    )
+                    self._jax_state = (jax, jnp, call_genotypes)
+                except Exception:
+                    self._jax_state = None
+        return self._jax_state
 
     # ------------------------------------------------------------------
 
@@ -266,6 +282,10 @@ class CallEngine:
             )
             if use_dd and self._jax is not None:
                 res = self._call_dd(counts, quals, ref)
+            if res is None and self._prefer_xla_f64():
+                res = self._call_f64_cpu(counts, quals, ref)
+            if res is None:
+                res = self._call_native_f64(counts, quals, ref)
             if res is None:
                 res = self._call_f64_cpu(counts, quals, ref)
             if res is not None:
@@ -291,7 +311,7 @@ class CallEngine:
                     # rather than dying, once
                     self._fast_broken = True
             if res is None:
-                res = self._call_f64_cpu(counts, quals, ref)
+                res = self._call_host_f64(counts, quals, ref)
             if res is None:
                 res = call_genotypes_np(
                     counts, quals, ref,
@@ -345,10 +365,10 @@ class CallEngine:
         either device=tpu (forced) or device=auto with an accelerator
         visible (the race decides later)."""
         cfg = self.cfg
-        if not cfg.exact or self._jax is None or self._fused_broken:
+        if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return True
+            return self._jax is not None
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -362,7 +382,18 @@ class CallEngine:
                 _probe_env_key(max(self.cfg.batch_positions, 1024))
             )
             if cached is not None:
-                return cached != float("inf")
+                return cached != float("inf") and self._jax is not None
+            import os as _os
+            import sys as _sys
+
+            if (
+                "jax" not in _sys.modules
+                and _os.environ.get("JAX_PLATFORMS", "").strip()
+                == "cpu"
+            ):
+                return False  # cpu-pinned, jax never loaded: no accel
+            if self._jax is None:
+                return False
             jax = self._jax[0]
             return any(d.platform != "cpu" for d in jax.devices())
         except Exception:
@@ -494,10 +525,10 @@ class CallEngine:
         vs the f64 host engine after 2M positions (never changing
         output bytes — both land below the oracle tie threshold)."""
         cfg = self.cfg
-        if not cfg.exact or self._jax is None or self._fused_broken:
+        if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return True
+            return self._jax is not None
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -522,7 +553,7 @@ class CallEngine:
             quals = agg["quals"][covered_idx]
             cref = np.asarray(ref_codes, dtype=np.int32)[covered_idx]
             t_f64 = clock(
-                lambda: self._call_f64_cpu(counts, quals, cref)
+                lambda: self._call_host_f64(counts, quals, cref)
             )
             # same transfer-only precheck as _auto_engine: the fused
             # tier moves a comparable volume (reads in, 3 position
@@ -706,8 +737,23 @@ class CallEngine:
                 # initialize the accelerator client at all
                 self._probe_rt = cached
                 return None
-            jax = self._jax[0]
-            if not any(d.platform != "cpu" for d in jax.devices()):
+            import sys as _sys
+
+            if (
+                "jax" not in _sys.modules
+                and os.environ.get("JAX_PLATFORMS", "").strip() == "cpu"
+            ):
+                # the platform is pinned to cpu and jax was never even
+                # loaded: no accelerator is reachable from this process;
+                # decide without paying the jax import (the cpu-pinned
+                # shard-worker fast path)
+                self._probe_rt = None
+                return None
+            jx = self._jax
+            if jx is None:
+                self._probe_rt = None
+                return None
+            if not any(d.platform != "cpu" for d in jx[0].devices()):
                 self._probe_rt = None
                 return None
             fd, path = tempfile.mkstemp(prefix="bsc_probe_")
@@ -736,9 +782,10 @@ class CallEngine:
         scalar-oracle tie threshold)."""
         if self._exact_engine is not None:
             return self._exact_engine
-        if self._jax is None:
-            self._exact_engine = "f64"
-            return "f64"
+        # NOTE: self._jax must not be touched before the transfer
+        # verdict below — reading it imports jax, which a cpu-pinned
+        # worker skips entirely (the probe resolves to 'no accelerator'
+        # without it)
         self._exact_pos += n_batch
         if self._exact_pos < 2_000_000:
             if self._exact_pos >= 500_000:
@@ -762,7 +809,7 @@ class CallEngine:
                     return float("inf")
                 return time.perf_counter() - t0
 
-            t_f64 = clock(lambda: self._call_f64_cpu(counts, quals, ref))
+            t_f64 = clock(lambda: self._call_host_f64(counts, quals, ref))
             # transfer-only precheck: if moving one chunk's data to the
             # accelerator and back already costs >= 0.8x the whole f64
             # chunk, no accelerator engine can win — and we never pay
@@ -777,6 +824,9 @@ class CallEngine:
                     f"exact engine: f64 (accel transfer "
                     f"{_ms(rt)} vs f64 chunk {_ms(t_f64)})"
                 )
+                return "f64"
+            if self._jax is None:  # accel plausible but no jax: host
+                self._exact_engine = "f64"
                 return "f64"
             t_dd = clock(lambda: self._call_dd(counts, quals, ref))
             self._exact_engine = (
@@ -949,6 +999,67 @@ class CallEngine:
             return self._pipe_chunks(counts, quals, ref, dispatch, finish)
         except Exception:
             return None
+
+    def _prefer_xla_f64(self) -> bool:
+        """True only on a single-process multi-device CPU backend (the
+        virtual test mesh, XLA_FLAGS=--xla_force_host_platform_device_
+        count): there the XLA mesh f64 kernel IS the multi-chip
+        machinery being validated, so it outranks the native
+        single-host kernel. Decided without importing jax (free False
+        in jax-less shard workers) and without initializing non-cpu
+        backends (the platform must already be pinned to cpu). Real
+        hosts expose one CPU device, multi-host cpu backends expose
+        remote devices — both get the native kernel."""
+        if self._prefer_xla is None:
+            import sys
+
+            self._prefer_xla = False
+            if "jax" in sys.modules:
+                jm = sys.modules["jax"]
+                try:
+                    plats = jm.config.jax_platforms
+                    if plats and "cpu" in str(plats):
+                        devs = jm.devices("cpu")
+                        local = jm.local_devices(backend="cpu")
+                        if len(local) == len(devs):
+                            from bs_call_tpu.parallel.sharding import (
+                                usable_device_count,
+                            )
+
+                            self._prefer_xla = usable_device_count(
+                                len(devs), self.cfg.batch_positions
+                            ) >= 2
+                except Exception:
+                    self._prefer_xla = False
+        return self._prefer_xla
+
+    def _call_native_f64(self, counts, quals, ref):
+        """Batched float64 model in native C++/glibc-libm
+        (bsc_model.cpp) — the default exact engine on the host: no jax
+        import, no XLA compile, threads follow CPU affinity. Returns
+        None when the native library is unavailable (then the XLA f64
+        kernel or numpy twin carries the batch)."""
+        try:
+            from bs_call_tpu.ops.genotype_native import native_model
+
+            m = native_model(
+                self.cfg.under_conv, self.cfg.over_conv,
+                self.cfg.ref_bias,
+            )
+        except Exception:
+            return None
+        if m is None:
+            return None
+        return m.call(counts, quals, ref)
+
+    def _call_host_f64(self, counts, quals, ref):
+        """The production host-side f64 engine: native kernel, XLA CPU
+        fallback. This (not _call_f64_cpu) is what the accelerator
+        races must beat."""
+        res = self._call_native_f64(counts, quals, ref)
+        if res is None:
+            res = self._call_f64_cpu(counts, quals, ref)
+        return res
 
     def _call_f64_cpu(self, counts, quals, ref):
         """Float64 batch on the host CPU backend (XLA-jitted); None if
