@@ -6,9 +6,10 @@ partitioner as the in-host shard runner); each host calls its contigs and
 writes a per-host VCF with a uniform header (concat-compatible, the
 reference's -s contract). The JSON stats block is then merged with device
 collectives: every fixed-size counter flattens into one vector and a
-single psum over the host axis produces the global stats — the coverage
-hash is folded into a bounded histogram for the collective (SURVEY §5) and
-kept exact per-host for single-host runs.
+single psum over the host axis produces the global stats; the
+dynamically-keyed counters (coverage hash, fs/qd/mq, meth profile) are
+all_gather'd as sparse tables and folded exactly on every host — no
+fold bounds, matching the reference's unbounded hashes (stats.c:208-228).
 
 Entry points:
   initialize(coordinator, num_processes, process_id) — jax.distributed
@@ -24,8 +25,6 @@ import numpy as np
 
 from bs_call_tpu.parallel.shard_runner import partition_contigs
 from bs_call_tpu.stats.collect import BsStats
-
-COV_HIST_MAX = 4096  # bounded coverage histogram for collectives
 
 
 def initialize(
@@ -68,12 +67,12 @@ _FLOAT_FIELDS = [
     ("CpG_ref_meth", (2, 101)),
     ("CpG_nonref_meth", (2, 101)),
 ]
-_QC_MAX = 512  # fs/qd/mq distribution bound for the collective
-_MPROF_MAX = 1024
-
-
 def stats_to_vectors(stats: BsStats) -> Dict[str, np.ndarray]:
-    """Flatten a BsStats into fixed-shape arrays suitable for psum."""
+    """Flatten the FIXED-shape part of a BsStats for psum. The
+    dynamically-keyed parts (coverage hash, fs/qd/mq distributions,
+    meth profile) travel as exact sparse tables instead —
+    stats_to_sparse — because any dense fold would need a bound and the
+    reference's hashes are unbounded (stats.c:208-228)."""
     ints = []
     for name, n in _FIXED_FIELDS:
         ints.extend(int(v) for v in getattr(stats, name))
@@ -83,39 +82,72 @@ def stats_to_vectors(stats: BsStats) -> Dict[str, np.ndarray]:
     fv = np.concatenate(
         [np.asarray(getattr(stats, name)).ravel() for name, _ in _FLOAT_FIELDS]
     )
-    # bounded coverage histogram: [cov, 5] counters (all, var, CpG0/1,
-    # CpG_inf handled separately keyed by informative depth)
-    cov = np.zeros((COV_HIST_MAX, 4), dtype=np.int64)
-    cov_inf = np.zeros((COV_HIST_MAX, 2), dtype=np.int64)
-    gc = np.zeros((COV_HIST_MAX, 101), dtype=np.int64)
-    for d, cs in stats.cov_stats.items():
-        d = min(int(d), COV_HIST_MAX - 1)
-        cov[d, 0] += cs.all
-        cov[d, 1] += cs.var
-        cov[d, 2] += cs.CpG[0]
-        cov[d, 3] += cs.CpG[1]
-        cov_inf[d, 0] += cs.CpG_inf[0]
-        cov_inf[d, 1] += cs.CpG_inf[1]
-        gc[d] += cs.gc_pcent
-    qc = np.zeros((3, _QC_MAX, 2), dtype=np.int64)
-    for row, attr in enumerate(("fs_stats", "qd_stats", "mq_stats")):
-        for k, v in getattr(stats, attr).items():
-            k = min(int(k), _QC_MAX - 1)
-            qc[row, k, 0] += v[0]
-            qc[row, k, 1] += v[1]
-    mprof = np.zeros((_MPROF_MAX, 4), dtype=np.int64)
-    mp = stats.meth_profile[:_MPROF_MAX]
-    mprof[: len(mp)] = mp
-    return {
-        "ints": iv,
-        "floats": fv,
-        "cov": cov,
-        "cov_inf": cov_inf,
-        "gc": gc,
-        "qc": qc,
-        "mprof": mprof,
-        "mprof_used": np.array([stats.meth_profile_used], dtype=np.int64),
-    }
+    return {"ints": iv, "floats": fv}
+
+
+def stats_to_sparse(stats: BsStats) -> Dict[str, np.ndarray]:
+    """The dynamically-keyed counters as [K, 1+C] int64 tables (column
+    0 = key + 1, so an all-zero padding row can never alias a real
+    entry), sorted by key for determinism."""
+    cov_keys = sorted(int(d) for d in stats.cov_stats)
+    cov = np.zeros((len(cov_keys), 1 + 6 + 101), dtype=np.int64)
+    for i, d in enumerate(cov_keys):
+        cs = stats.cov_stats[d]
+        cov[i, 0] = d + 1
+        cov[i, 1:7] = (
+            cs.all, cs.var, cs.CpG[0], cs.CpG[1],
+            cs.CpG_inf[0], cs.CpG_inf[1],
+        )
+        cov[i, 7:] = cs.gc_pcent
+    out = {"cov": cov}
+    for attr in ("fs_stats", "qd_stats", "mq_stats"):
+        dct = getattr(stats, attr)
+        keys = sorted(int(k) for k in dct)
+        t = np.zeros((len(keys), 3), dtype=np.int64)
+        for i, k in enumerate(keys):
+            t[i] = (k + 1, dct[k][0], dct[k][1])
+        out[attr] = t
+    mp = np.asarray(stats.meth_profile, dtype=np.int64)
+    mprof = np.zeros((len(mp), 5), dtype=np.int64)
+    if len(mp):
+        mprof[:, 0] = np.arange(1, len(mp) + 1)
+        mprof[:, 1:] = mp
+    out["mprof"] = mprof
+    return out
+
+
+def sparse_into_stats(stats: BsStats, tables: Dict[str, np.ndarray],
+                      mprof_used: int) -> None:
+    """Fold gathered sparse tables (leading axis = one slot per mesh
+    device) into `stats`. Zero key columns are padding/empty slots."""
+    cov = np.asarray(tables["cov"]).reshape(-1, 1 + 6 + 101)
+    for row in cov:
+        if row[0] == 0:
+            continue
+        cs = stats.cov_stats[int(row[0]) - 1]
+        cs.all += int(row[1])
+        cs.var += int(row[2])
+        cs.CpG[0] += int(row[3])
+        cs.CpG[1] += int(row[4])
+        cs.CpG_inf[0] += int(row[5])
+        cs.CpG_inf[1] += int(row[6])
+        cs.gc_pcent = cs.gc_pcent + row[7:]
+    for attr in ("fs_stats", "qd_stats", "mq_stats"):
+        dct = getattr(stats, attr)
+        for row in np.asarray(tables[attr]).reshape(-1, 3):
+            if row[0] == 0:
+                continue
+            dct[int(row[0]) - 1][0] += int(row[1])
+            dct[int(row[0]) - 1][1] += int(row[2])
+    stats.grow_meth_profile(max(mprof_used, 0))
+    for row in np.asarray(tables["mprof"]).reshape(-1, 5):
+        idx = int(row[0]) - 1
+        if idx < 0:
+            continue
+        if idx >= len(stats.meth_profile):
+            stats.grow_meth_profile(idx)
+        stats.meth_profile[idx] += row[1:]
+    stats.meth_profile_used = mprof_used
 
 
 def vectors_to_stats(v: Dict[str, np.ndarray]) -> BsStats:
@@ -137,31 +169,6 @@ def vectors_to_stats(v: Dict[str, np.ndarray]) -> BsStats:
         size = int(np.prod(shape))
         setattr(stats, name, fv[off : off + size].reshape(shape))
         off += size
-    cov = np.asarray(v["cov"])
-    cov_inf = np.asarray(v["cov_inf"])
-    gc = np.asarray(v["gc"])
-    for d in np.nonzero(
-        cov.any(axis=1) | cov_inf.any(axis=1) | gc.any(axis=1)
-    )[0]:
-        cs = stats.cov_stats[int(d)]
-        cs.all = int(cov[d, 0])
-        cs.var = int(cov[d, 1])
-        cs.CpG = [int(cov[d, 2]), int(cov[d, 3])]
-        cs.CpG_inf = [int(cov_inf[d, 0]), int(cov_inf[d, 1])]
-        cs.gc_pcent = gc[d].copy()
-    qc = np.asarray(v["qc"])
-    for row, attr in enumerate(("fs_stats", "qd_stats", "mq_stats")):
-        dct = getattr(stats, attr)
-        for k in np.nonzero(qc[row].any(axis=1))[0]:
-            dct[int(k)][0] = int(qc[row, k, 0])
-            dct[int(k)][1] = int(qc[row, k, 1])
-    used = int(np.asarray(v["mprof_used"])[0])
-    stats.grow_meth_profile(max(used, 0))
-    mp = np.asarray(v["mprof"])
-    stats.meth_profile[: min(len(mp), len(stats.meth_profile))] = mp[
-        : len(stats.meth_profile)
-    ]
-    stats.meth_profile_used = used
     return stats
 
 
@@ -174,6 +181,21 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     contributes its payload on its first local device and the collective
     rides the jax.distributed transport — ICI/DCN on a pod, gloo on
     CPU)."""
+    return _collective(vecs, gather=False)
+
+
+def allgather_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """all_gather counterpart of psum_arrays: returns each array with a
+    new leading axis of one slot per mesh device (per host in a
+    multi-process run; unused local slots are the zero payload the
+    caller staged). The exact sparse-stats merge uses this: summing
+    can't combine tables whose KEYS differ per host, gathering can."""
+    return _collective(vecs, gather=True)
+
+
+def _collective(
+    vecs: Dict[str, np.ndarray], gather: bool
+) -> Dict[str, np.ndarray]:
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -212,14 +234,19 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         else:
             g = jax.device_put(local, sh)
         args.append(g)
+    if gather:
+        op = lambda a: jax.lax.all_gather(a[0], "hosts")  # noqa: E731
+    else:
+        op = lambda a: jax.lax.psum(a[0], "hosts")  # noqa: E731
+    # check_vma=False: an all_gather result IS replicated across the
+    # axis, but shard_map's varying-axes check cannot infer that
     fn = jax.jit(
         jax.shard_map(
-            lambda *arrs: tuple(
-                jax.lax.psum(a[0], "hosts") for a in arrs
-            ),
+            lambda *arrs: tuple(op(a) for a in arrs),
             mesh=mesh,
             in_specs=tuple(P("hosts") for _ in args),
             out_specs=tuple(P() for _ in args),
+            check_vma=False,
         )
     )
     out = fn(*args)
@@ -234,27 +261,41 @@ def psum_arrays(vecs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def merge_stats_collective(stats: BsStats, mesh=None) -> BsStats:
-    """Merge per-host stats into the global stats with a single psum over
+    """Merge per-host stats into the global stats with collectives over
     all participating processes/devices. On a single process this runs
-    over the local device mesh; multi-host it runs over the global device
-    set brought up by initialize().
+    over the local device mesh; multi-host it runs over the global
+    device set brought up by initialize().
+
+    Fixed-shape counters merge with one psum. Dynamically-keyed tables
+    (coverage hash, fs/qd/mq, meth profile) merge EXACTLY — the
+    reference's hashes are unbounded (stats.c:208-228), so instead of
+    clipping into dense bins, per-host sparse tables are padded to the
+    globally largest row count (learned from one tiny all_gather) and
+    all_gather'd; every host folds the identical union deterministically.
 
     (mesh is accepted for API compatibility and ignored: the axis always
     spans jax.devices().)"""
-    vecs = stats_to_vectors(stats)
-    # mprof_used merges by MAX: encode as a one-hot histogram so the same
-    # psum covers it (merged used = highest nonzero bin)
-    used = int(vecs.pop("mprof_used")[0])
-    onehot = np.zeros(_MPROF_MAX, dtype=np.int64)
-    onehot[min(used, _MPROF_MAX - 1)] = 1
-    vecs["mprof_used_hist"] = onehot
-    merged = psum_arrays(vecs)
-    hist = merged.pop("mprof_used_hist")
-    nz = np.nonzero(hist)[0]
-    merged["mprof_used"] = np.array(
-        [int(nz[-1]) if len(nz) else 0], dtype=np.int64
+    sparse = stats_to_sparse(stats)
+    names = sorted(sparse)
+    sizes = np.array(
+        [len(sparse[n]) for n in names] + [stats.meth_profile_used],
+        dtype=np.int64,
     )
-    return vectors_to_stats(merged)
+    g_sizes = np.asarray(
+        allgather_arrays({"sizes": sizes})["sizes"]
+    ).reshape(-1, len(sizes))
+    kmax = g_sizes.max(axis=0)
+    padded = {}
+    for i, n in enumerate(names):
+        t = sparse[n]
+        k = max(int(kmax[i]), 1)
+        p = np.zeros((k,) + t.shape[1:], dtype=np.int64)
+        p[: len(t)] = t
+        padded[n] = p
+    gathered = allgather_arrays(padded)
+    merged = vectors_to_stats(psum_arrays(stats_to_vectors(stats)))
+    sparse_into_stats(merged, gathered, int(kmax[-1]))
+    return merged
 
 
 # ---------------- multi-host runtime ----------------

@@ -7,6 +7,8 @@ import numpy as np
 from bs_call_tpu.parallel.distributed import (
     merge_stats_collective,
     my_contigs,
+    sparse_into_stats,
+    stats_to_sparse,
     stats_to_vectors,
     vectors_to_stats,
 )
@@ -42,8 +44,8 @@ def random_stats(seed):
 
 def test_vector_roundtrip():
     s = random_stats(0)
-    v = stats_to_vectors(s)
-    s2 = vectors_to_stats(v)
+    s2 = vectors_to_stats(stats_to_vectors(s))
+    sparse_into_stats(s2, stats_to_sparse(s), s.meth_profile_used)
     np.testing.assert_array_equal(s2.qual, s.qual)
     np.testing.assert_array_equal(s2.mut_counts, s.mut_counts)
     assert s2.snps == s.snps
@@ -68,6 +70,33 @@ def test_collective_merge_equals_host_merge():
     assert {k: v.all for k, v in merged.cov_stats.items()} == {
         k: v.all for k, v in s.cov_stats.items()
     }
+
+
+def test_collective_merge_exact_beyond_old_fold_bounds():
+    """Depths >4096 and fs/qd/mq keys >512 (the round-2 dense-fold clip
+    bounds) must survive the collective EXACTLY — the reference's
+    coverage hash is unbounded (stats.c:208-228), so a deep mito/rRNA
+    pileup or an extreme FS key must not be silently folded."""
+    s = BsStats()
+    for d in (3, 4095, 4096, 50_000, 1_000_000):
+        cs = s.cov_stats[d]
+        cs.all = d + 1
+        cs.var = 2
+        cs.gc_pcent = np.arange(101, dtype=np.int64)
+    s.fs_stats[10_000][0] = 7
+    s.qd_stats[511][1] = 3
+    s.qd_stats[9_999][1] = 4
+    s.mq_stats[70_000][0] = 5
+    merged = merge_stats_collective(s)
+    assert {k: v.all for k, v in merged.cov_stats.items()} == {
+        k: v.all for k, v in s.cov_stats.items()
+    }
+    np.testing.assert_array_equal(
+        merged.cov_stats[1_000_000].gc_pcent, np.arange(101)
+    )
+    assert dict(merged.fs_stats) == dict(s.fs_stats)
+    assert dict(merged.qd_stats) == dict(s.qd_stats)
+    assert dict(merged.mq_stats) == dict(s.mq_stats)
 
 
 def test_contig_assignment_partitions():
