@@ -147,3 +147,147 @@ def test_vector_matches_scalar(tmp_path, seed, all_positions):
     assert len(recs[0]) == len(recs[1])
     for a, b in zip(recs[0], recs[1]):
         assert a == b
+
+
+def _run_pair(ref, bam, collect=True, **cfg_kw):
+    """(records, stats) for scalar and vector emitters on one input."""
+    from bs_call_tpu.stats.collect import BsStats
+
+    outs, stats_list = [], []
+    for use_vector in (False, True):
+        cfg = CallerConfig(
+            input_file=bam, reference_file=ref, benchmark_mode=True,
+            **cfg_kw,
+        )
+        if not use_vector:
+            cfg.out_file_type = -1
+        out = io.BytesIO()
+        st = BsStats() if collect else None
+        run_caller(cfg, out_fileobj=out, stats=st)
+        outs.append(
+            [l for l in out.getvalue().decode().splitlines()
+             if not l.startswith("#")]
+        )
+        stats_list.append(st)
+    return outs, stats_list
+
+
+def test_deep_pileup_beyond_4096(tmp_path):
+    """Depth > 4096 at one site (mito/rRNA-style stack): scalar/vector
+    byte parity, the >4096 coverage key in the stats, and an exact
+    collective merge of those stats (the round-2 dense fold clipped
+    this, parallel/distributed.py)."""
+    ctg_len = 400
+    seq = ("ACGT" * 100)[:ctg_len]
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\n" + seq + "\n")
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"], ref_lens=[ctg_len],
+    )
+    bam = tmp_path / "deep.bam"
+    w = BamWriter(str(bam), hdr)
+    rng = np.random.default_rng(0)
+    n_reads = 5000
+    for i in range(n_reads):
+        rseq = list(seq[100:160])
+        if i % 2 == 0:
+            rseq[30] = "T"  # het-ish variant under extreme depth
+        q = rng.integers(25, 44, 60).astype(np.uint8)
+        # alternate strands but keep positions identical: positional
+        # dedup must NOT collapse these (they differ in qname only)
+        w.write(f"d{i}", 16 if i % 3 == 0 else 0, 0, 100,
+                50, [(60, 0)], -1, -1, 0, "".join(rseq), q)
+    w.close()
+    # -d: the stack IS the point — positional dedup would collapse it
+    outs, stats_list = _run_pair(str(ref), str(bam),
+                                 keep_duplicates=True)
+    assert outs[0] == outs[1]
+    deep_keys = [k for k in stats_list[1].cov_stats if k > 4096]
+    assert deep_keys, "fixture failed to produce depth > 4096"
+    from bs_call_tpu.parallel.distributed import merge_stats_collective
+
+    merged = merge_stats_collective(stats_list[1])
+    assert {k: v.all for k, v in merged.cov_stats.items()} == {
+        k: v.all for k, v in stats_list[1].cov_stats.items()
+    }
+    assert dict(merged.fs_stats) == dict(stats_list[1].fs_stats)
+
+
+def test_contig_start_tiny_blocks(tmp_path):
+    """Blocks shorter than the 2-position lag window at a contig start
+    (a 3bp read at pos 0, nothing else nearby) — the lag pipeline's
+    nastiest corner (flush_vcf_entries, print_vcf.c:563-570): scalar
+    and vector emitters must agree byte for byte across contigs."""
+    lens = [300, 300, 300]
+    names = ["chr1", "chr2", "chr3"]
+    seqs = [("ACGT" * 75)[:300], ("CGTA" * 75)[:300], ("GTAC" * 75)[:300]]
+    ref = tmp_path / "ref.fa"
+    with open(ref, "w") as f:
+        for n, s in zip(names, seqs):
+            f.write(f">{n}\n{s}\n")
+    hdr = BamHeader(
+        text="@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join(f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(names, lens)),
+        ref_names=names, ref_lens=lens,
+    )
+    bam = tmp_path / "tiny.bam"
+    w = BamWriter(str(bam), hdr)
+    rng = np.random.default_rng(1)
+    # chr1: ONLY a 3bp read at position 0
+    w.write("t0", 0, 0, 0, 40, [(3, 0)], -1, -1, 0,
+            seqs[0][:3], np.full(3, 35, np.uint8))
+    # chr2: 1bp and 4bp islands at the start, then a distant island
+    w.write("t1", 0, 1, 0, 40, [(1, 0)], -1, -1, 0,
+            seqs[1][0], np.full(1, 30, np.uint8))
+    w.write("t2", 16, 1, 2, 40, [(4, 0)], -1, -1, 0,
+            seqs[1][2:6], np.full(4, 30, np.uint8))
+    w.write("t3", 0, 1, 200, 40, [(5, 0)], -1, -1, 0,
+            "T" + seqs[1][201:205], np.full(5, 38, np.uint8))
+    # chr3: normal coverage so the pipeline keeps flowing after the
+    # degenerate contigs
+    for i, pos in enumerate(sorted(rng.integers(0, 240, 40))):
+        pos = int(pos)
+        rseq = list(seqs[2][pos : pos + 30])
+        if rng.random() < 0.3:
+            rseq[10] = "ACGT"[int(rng.integers(4))]
+        w.write(f"n{i}", 0, 2, pos, 45, [(30, 0)], -1, -1, 0,
+                "".join(rseq), rng.integers(20, 44, 30).astype(np.uint8))
+    w.close()
+    outs, stats_list = _run_pair(str(ref), str(bam))
+    assert outs[0] == outs[1]
+    _stats_equal(stats_list[0], stats_list[1])
+
+
+def test_extreme_strand_bias_fs_keys(tmp_path):
+    """All-forward variant stacks push the Fisher-strand phred far past
+    the round-2 QC fold bound (512): scalar/vector parity plus an exact
+    collective merge of the fs/qd distributions."""
+    ctg_len = 500
+    seq = ("AC" * 250)[:ctg_len]
+    ref = tmp_path / "ref.fa"
+    ref.write_text(">chr1\n" + seq + "\n")
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{ctg_len}\n",
+        ref_names=["chr1"], ref_lens=[ctg_len],
+    )
+    bam = tmp_path / "fs.bam"
+    w = BamWriter(str(bam), hdr)
+    rng = np.random.default_rng(2)
+    for i in range(900):
+        rseq = list(seq[50:110])
+        if i % 2 == 0:
+            rseq[25] = "G"
+        rev = i % 2 == 1  # variant only ever on the forward strand
+        q = rng.integers(30, 44, 60).astype(np.uint8)
+        w.write(f"f{i}", 16 if rev else 0, 0, 50, 55, [(60, 0)],
+                -1, -1, 0, "".join(rseq), q)
+    w.close()
+    outs, stats_list = _run_pair(str(ref), str(bam))
+    assert outs[0] == outs[1]
+    _stats_equal(stats_list[0], stats_list[1])
+    from bs_call_tpu.parallel.distributed import merge_stats_collective
+
+    merged = merge_stats_collective(stats_list[1])
+    assert dict(merged.fs_stats) == dict(stats_list[1].fs_stats)
+    assert dict(merged.qd_stats) == dict(stats_list[1].qd_stats)
