@@ -56,6 +56,47 @@ def _barrier(*xs):
     return jax.lax.optimization_barrier(xs)
 
 
+def dd_jit(fn, **jit_kw):
+    """jax.jit that preserves df32 semantics on every backend.
+
+    XLA:CPU's loop-fusion emitter evaluates fused mul+add chains with
+    excess precision (FMA contraction) AFTER optimization barriers are
+    stripped, which destroys the error-free transforms: a jitted
+    composite dd.mul degrades from ~1e-14 to ~6e-8 relative error while
+    each primitive alone stays exact. Disabling the fusion pass for the
+    compiled program restores bit-exact behavior (verified in
+    tests/test_emit_device.py). TPU emitters do not contract these
+    chains (dd planes validated bit-compatible on hardware, round 2
+    adversarial parity seeds), so only CPU pays the fusion-off cost —
+    and only tests and dryruns run dd under jit on CPU.
+
+    Backend choice is deferred to the first call so importing a module
+    that decorates with dd_jit never initializes a JAX backend."""
+    box = {}
+
+    def call(*args, **kwargs):
+        f = box.get("f")
+        if f is None:
+            try:
+                cpu = jax.default_backend() == "cpu"
+            except Exception:
+                cpu = True
+            if cpu:
+                f = jax.jit(
+                    fn,
+                    compiler_options={
+                        "xla_disable_hlo_passes": "fusion"
+                    },
+                    **jit_kw,
+                )
+            else:
+                f = jax.jit(fn, **jit_kw)
+            box["f"] = f
+        return f(*args, **kwargs)
+
+    return call
+
+
 def _two_sum(a, b):
     s = a + b
     s, a, b = _barrier(s, a, b)
