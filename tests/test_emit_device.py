@@ -261,3 +261,65 @@ def test_dd_jit_preserves_error_free_transforms():
     jitted = dd.dd_jit(f)(xh, xl, yh, yl)
     np.testing.assert_array_equal(np.asarray(eager[0]), np.asarray(jitted[0]))
     np.testing.assert_array_equal(np.asarray(eager[1]), np.asarray(jitted[1]))
+
+
+def test_fused_emit_chunk_end_to_end():
+    """Read batch -> pileup -> model -> emit fields -> compaction in one
+    compiled program; non-risky compacted rows must be bit-identical to
+    the host path run on the same (device-built) pileup accumulators."""
+    from bs_call_tpu.ops.genotype import ModelParams
+    from bs_call_tpu.ops.kernels.emit_device import fused_emit_chunk
+    from bs_call_tpu.ops.kernels.pileup_device import device_pileup
+
+    rng = np.random.default_rng(21)
+    n_pos, R, L = 256, 64, 32
+    rd = np.zeros((R, L), np.uint8)
+    for i in range(R):
+        ln = rng.integers(10, L + 1)
+        base = rng.integers(0, 4, size=ln).astype(np.uint8)
+        qual = rng.integers(5, 44, size=ln).astype(np.uint8)
+        rd[i, :ln] = base | (qual << 2)
+    starts = rng.integers(0, n_pos - L, size=R).astype(np.int32)
+    ori = rng.integers(0, 2, size=R).astype(np.int32)
+    strand = rng.integers(0, 3, size=R).astype(np.int32)
+    mapq = rng.integers(10, 61, size=R).astype(np.int32)
+    ref = rng.integers(0, 5, size=n_pos).astype(np.int32)
+    params = ModelParams()
+
+    cap = n_pos
+    n_emit, out = fused_emit_chunk(
+        jnp.asarray(rd), jnp.asarray(starts), jnp.asarray(ori),
+        jnp.asarray(strand), jnp.asarray(mapq), jnp.asarray(ref),
+        n_pos=n_pos, min_qual=13, params=params, cap=cap,
+    )
+    n_emit = int(n_emit)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    assert 0 < n_emit <= cap
+
+    # host path on the device-built accumulators
+    c2, qs, m2 = (np.asarray(a) for a in device_pileup(
+        jnp.asarray(rd), jnp.asarray(starts), jnp.asarray(ori),
+        jnp.asarray(strand), jnp.asarray(mapq), n_pos, 13,
+    ))
+    (hi, lo), agg, mx_h, prep = _host_prep(c2, qs, m2, ref, params)
+    covered = agg["n"] > 0
+    np.testing.assert_array_equal(
+        out["pos"][:n_emit], np.nonzero(covered)[0]
+    )
+    sel = out["pos"][:n_emit]
+    ok = ~out["risk"][:n_emit]
+    (phred, dp1, qd, fs_int, flt, mac1, gl_vals, gl_len, cg_code,
+     cond_cg, het) = prep
+    np.testing.assert_array_equal(out["phred"][:n_emit][ok],
+                                  phred[sel][ok])
+    np.testing.assert_array_equal(out["fs_int"][:n_emit][ok],
+                                  fs_int[sel][ok])
+    np.testing.assert_array_equal(out["flt"][:n_emit][ok], flt[sel][ok])
+    np.testing.assert_array_equal(out["gl_vals"][:n_emit][ok],
+                                  gl_vals[sel][ok])
+    np.testing.assert_array_equal(out["cg_code"][:n_emit][ok],
+                                  cg_code[sel][ok])
+    np.testing.assert_array_equal(out["mq"][:n_emit][ok],
+                                  agg["mq"][sel][ok])
+    np.testing.assert_array_equal(out["max_gt"][:n_emit][ok],
+                                  mx_h[sel][ok])
