@@ -393,6 +393,69 @@ def bench_fused(n_reads=1 << 13, rl=150, n_pos=1 << 16, iters=10):
     )
 
 
+def bench_emit_device(n_reads=1 << 13, rl=150, n_pos=1 << 15, iters=5):
+    """Full device emit tier (SURVEY §7.4): read batch -> pileup -> df32
+    model -> Fisher/filters/GL/CG -> compacted emitted records, one
+    compiled program. Context line on stderr with the D2H volume vs the
+    plane-shipping fused tier (hi/lo planes + quals = 88 B/pos)."""
+    import sys
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    from bs_call_tpu.ops.genotype import ModelParams
+    from bs_call_tpu.ops.kernels.emit_device import fused_emit_chunk
+
+    rng = np.random.default_rng(0)
+    # realistic pileup: reads copy the reference with ~1% mismatches,
+    # so het sites (the Fisher workload) are a few percent as in real
+    # data rather than ~100% as with random bases
+    refc = rng.integers(1, 5, n_pos).astype(np.int32)
+    starts = np.sort(
+        rng.integers(0, n_pos - rl, n_reads).astype(np.int32)
+    )
+    q = rng.integers(20, 44, size=(n_reads, rl)).astype(np.uint8)
+    base = (refc - 1)[
+        starts[:, None] + np.arange(rl, dtype=np.int32)
+    ].astype(np.uint8)
+    flip = rng.random((n_reads, rl)) < 0.01
+    base = np.where(
+        flip, (base + rng.integers(1, 4, base.shape)) % 4, base
+    ).astype(np.uint8)
+    rd = (base | (q << 2)).astype(np.uint8)
+    ori = rng.integers(0, 2, n_reads).astype(np.int32)
+    strand = rng.integers(0, 3, n_reads).astype(np.int32)
+    mapq = rng.integers(20, 60, n_reads).astype(np.int32)
+    params = ModelParams()
+
+    args = (jnp.asarray(rd), jnp.asarray(starts), jnp.asarray(ori),
+            jnp.asarray(strand), jnp.asarray(mapq), jnp.asarray(refc))
+    n_emit, out = fused_emit_chunk(
+        *args, n_pos=n_pos, min_qual=20, params=params, cap=n_pos
+    )
+    jax.block_until_ready(n_emit)
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        n_emit, out = fused_emit_chunk(
+            *args, n_pos=n_pos, min_qual=20, params=params, cap=n_pos
+        )
+    jax.block_until_ready(n_emit)
+    t_emit = (_t.perf_counter() - t0) / iters
+    ne = int(n_emit)
+    rec_b = sum(
+        int(np.asarray(v[:1]).nbytes) for v in out.values()
+    )
+    risk = float(np.asarray(out["risk"][:ne]).mean()) if ne else 0.0
+    print(
+        f"device emit tier: {n_reads/t_emit:.0f} reads/s "
+        f"({n_pos/t_emit:.0f} pos/s), {ne}/{n_pos} emitted, "
+        f"D2H {rec_b} B/record (compacted) vs 88 B/pos (planes), "
+        f"host-rescue {100*risk:.1f}%",
+        file=sys.stderr,
+    )
+
+
 def _build_reference_binary(build_dir="/tmp/bsref_bench"):
     """Compile the reference bs_call against tools/htslib_shim (~3 s).
     Returns the binary path, or None when the build is impossible here."""
@@ -548,6 +611,7 @@ def main():
         ("end-to-end", bench_end_to_end),
         ("modes", bench_modes),
         ("fused", bench_fused),
+        ("emit", bench_emit_device),
     ]:
         try:
             fn()

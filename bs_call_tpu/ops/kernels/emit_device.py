@@ -265,7 +265,7 @@ def _finish_dd(hi, lo):
 
 
 def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
-                   quirk: bool = True):
+                   quirk: bool = True, het_cap: int | None = None):
     """Per-position emit fields on device. Inputs are the fused tier's
     ll planes + raw pileup accumulators; outputs mirror bsc_emit_prep
     column for column, plus covered/gt codes/risk. All [n]-shaped."""
@@ -335,7 +335,25 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
     ftab = jnp.stack(
         [jnp.where(is_het, v, 0) for v in (f0, f1, f2, f3)], axis=-1
     )
-    fs_dd, fs_over = _fisher_dd(ftab, _lfact_split())
+    # Fisher only runs on het rows (call_genotypes.c:62: homozygous
+    # sites get no test), and het sites are a few percent of a real
+    # pileup — compact them into a small buffer so the 512-step walk
+    # costs het_cap/n of the dense version; an overflowing het count
+    # flags the excess rows for host rescue (the native batch Fisher is
+    # cheap there anyway).
+    n_rows = ftab.shape[0]
+    if het_cap is None:
+        het_cap = n_rows
+    het_cap = max(min(het_cap, n_rows), 64)
+    hseq = jnp.cumsum(is_het.astype(jnp.int32)) - 1
+    hslot = jnp.where(is_het & (hseq < het_cap), hseq, het_cap)
+    ftab_c = jnp.zeros((het_cap + 1, 4), ftab.dtype).at[hslot].set(ftab)
+    fs_c, over_c = _fisher_dd(ftab_c[:-1], _lfact_split())
+    gidx_h = jnp.clip(hseq, 0, het_cap - 1)
+    use_fs = is_het & (hseq < het_cap)
+    fs_dd = (jnp.where(use_fs, fs_c[0][gidx_h], F32(0)),
+             jnp.where(use_fs, fs_c[1][gidx_h], F32(0)))
+    fs_over = is_het & (over_c[gidx_h] | (hseq >= het_cap))
     fs_y = jnp.where(is_het, _dd_y(fs_dd), F32(0))
     fs_q = -fs_y * F32(10.0) + F32(0.5)
     fs_int = fs_q.astype(jnp.int32)
@@ -454,7 +472,9 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
 
 
 # jitted twin of emit_fields_dd (dd-safe on every backend)
-emit_fields_jit = dd.dd_jit(emit_fields_dd, static_argnames=("quirk",))
+emit_fields_jit = dd.dd_jit(
+    emit_fields_dd, static_argnames=("quirk", "het_cap")
+)
 
 
 def _cg_codes(a2, a1, a3, mx, cflag, gflag):
@@ -508,11 +528,11 @@ def compact_emitted(fields: dict, cap: int):
 
 @functools.partial(
     dd.dd_jit, static_argnames=("n_pos", "min_qual", "params", "cap",
-                                "quirk")
+                                "quirk", "het_cap")
 )
 def fused_emit_chunk(rd, starts, ori, strand, mapq, ref_codes,
                      n_pos: int, min_qual: int, params, cap: int,
-                     quirk: bool = True):
+                     quirk: bool = True, het_cap: int | None = None):
     """The full fused tier in ONE compiled program: read batch -> pileup
     -> df32 model -> finish -> Fisher -> filters/GL/CG -> compaction.
     H2D: read bytes; D2H: compacted emitted-site tensors."""
@@ -528,7 +548,10 @@ def fused_emit_chunk(rd, starts, ori, strand, mapq, ref_codes,
     counts = counts2.sum(axis=1).astype(jnp.int32)
     quals = _agg_quals_f32(counts, qual_sum)
     hi, lo = genotype_ll_dd(counts, quals, ref_codes, params)
+    if het_cap is None:
+        het_cap = max(n_pos // 8, 64)  # real pileups are ~1-5% het
     fields = emit_fields_dd(
-        hi, lo, counts2, qual_sum, mapq2_sum, ref_codes, quirk=quirk
+        hi, lo, counts2, qual_sum, mapq2_sum, ref_codes, quirk=quirk,
+        het_cap=het_cap,
     )
     return compact_emitted(fields, cap)

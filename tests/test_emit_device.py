@@ -323,3 +323,38 @@ def test_fused_emit_chunk_end_to_end():
                                   agg["mq"][sel][ok])
     np.testing.assert_array_equal(out["max_gt"][:n_emit][ok],
                                   mx_h[sel][ok])
+
+
+def test_het_cap_overflow_flags_excess():
+    """With a tiny het buffer, rows beyond the cap must be risk-flagged
+    (host Fisher rescue) and rows inside it still match bit-exactly."""
+    from bs_call_tpu.ops.genotype import ModelParams
+
+    rng = np.random.default_rng(33)
+    n = 512
+    params = ModelParams()
+    counts2, qual_sum, mapq2_sum, ref = _random_pileup(rng, n)
+    (hi, lo), agg, mx_h, prep = _host_prep(
+        counts2, qual_sum, mapq2_sum, ref, params
+    )
+    fs_int = prep[3]
+    full = emit_fields_jit(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts2),
+        jnp.asarray(qual_sum), jnp.asarray(mapq2_sum), jnp.asarray(ref),
+    )
+    capped = emit_fields_jit(
+        jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts2),
+        jnp.asarray(qual_sum), jnp.asarray(mapq2_sum), jnp.asarray(ref),
+        het_cap=64,
+    )
+    het = np.asarray(full["het"])
+    risk_c = np.asarray(capped["risk"])
+    # het rows past the 64th must all be flagged under the small cap
+    order = np.cumsum(het) - 1
+    overflow = het & (order >= 64)
+    assert overflow.any()
+    assert risk_c[overflow].all()
+    ok = ~risk_c
+    np.testing.assert_array_equal(
+        np.asarray(capped["fs_int"])[ok], fs_int[ok]
+    )
