@@ -603,20 +603,36 @@ def main():
         }
     # headline first so a slow/hung context extra can't eat it
     print(json.dumps(headline), flush=True)
-    for name, fn in [
+
+    # a wedged accelerator tunnel can HANG a device bench (not raise) —
+    # convert that to an exception so the remaining lines still print
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench timed out")
+
+    can_alarm = hasattr(signal, "SIGALRM")
+    if can_alarm:
+        signal.signal(signal.SIGALRM, _alarm)
+    for name, fn, budget in [
         ("kernel", lambda: print(
             f"genotype kernel: {bench_device():.0f} pos/s "
             f"(oracle stand-in {bench_oracle():.0f} pos/s)",
-            file=sys.stderr)),
-        ("end-to-end", bench_end_to_end),
-        ("modes", bench_modes),
-        ("fused", bench_fused),
-        ("emit", bench_emit_device),
+            file=sys.stderr), 600),
+        ("end-to-end", bench_end_to_end, 900),
+        ("modes", bench_modes, 900),
+        ("fused", bench_fused, 600),
+        ("emit", bench_emit_device, 600),
     ]:
         try:
+            if can_alarm:
+                signal.alarm(budget)
             fn()
         except Exception as e:  # context only
             print(f"{name} bench failed: {e}", file=sys.stderr)
+        finally:
+            if can_alarm:
+                signal.alarm(0)
 
 
 if __name__ == "__main__":
