@@ -265,10 +265,16 @@ def _finish_dd(hi, lo):
 
 
 def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
-                   quirk: bool = True, het_cap: int | None = None):
+                   quirk: bool = True, het_cap: int | None = None,
+                   prev_ctx=None, next_ctx=None):
     """Per-position emit fields on device. Inputs are the fused tier's
     ll planes + raw pileup accumulators; outputs mirror bsc_emit_prep
-    column for column, plus covered/gt codes/risk. All [n]-shaped."""
+    column for column, plus covered/gt codes/risk. All [n]-shaped.
+
+    prev_ctx / next_ctx: optional (known_bool, gt1_code) scalars giving
+    the 1-based genotype codes just outside this chunk (a sharded
+    caller's ppermute halo). Known edges compute the CG automaton
+    exactly; unknown edges are risk-flagged for host rescue."""
     counts = counts2.sum(axis=1).astype(jnp.int32)
     n_all = counts.sum(axis=-1)
     covered = n_all > 0
@@ -445,18 +451,33 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
     )
     risk |= gl_risk.any(axis=-1)
     risk |= win_sub  # host-subnormal GL band: device f32 can't see it
-    # genotype codes + CG automaton over within-chunk neighbours
+    # genotype codes + CG automaton over within-chunk neighbours (halo
+    # context, when the caller has it, fills the border slots)
     gt1 = jnp.where(covered, mx + 1, 0)
-    g1 = jnp.concatenate([jnp.zeros(1, gt1.dtype), gt1[:-1]])
-    g3 = jnp.concatenate([gt1[1:], jnp.zeros(1, gt1.dtype)])
+    if prev_ctx is None:
+        prev_known, prev_gt = jnp.bool_(False), jnp.int32(0)
+    else:
+        prev_known, prev_gt = prev_ctx
+    if next_ctx is None:
+        next_known, next_gt = jnp.bool_(False), jnp.int32(0)
+    else:
+        next_known, next_gt = next_ctx
+    g1 = jnp.concatenate(
+        [jnp.where(prev_known, prev_gt, 0).astype(gt1.dtype)[None],
+         gt1[:-1]]
+    )
+    g3 = jnp.concatenate(
+        [gt1[1:],
+         jnp.where(next_known, next_gt, 0).astype(gt1.dtype)[None]]
+    )
     from bs_call_tpu.output.vector_site import _CFLAG_U8, _GFLAG_U8
 
     cflag = jnp.asarray(_CFLAG_U8.astype(np.bool_))
     gflag = jnp.asarray(_GFLAG_U8.astype(np.bool_))
     cg_code, cond_cg = _cg_codes(gt1, g1, g3, mx, cflag, gflag)
-    # chunk edges lack real neighbours: host recomputes them
+    # edges without halo context lack real neighbours: host recomputes
     edge = jnp.zeros_like(covered)
-    edge = edge.at[0].set(True).at[-1].set(True)
+    edge = edge.at[0].set(~prev_known).at[-1].set(~next_known)
     risk |= edge
     risk |= margin < F32(1e-9)  # ll tie: oracle rescue regardless
     het = het_tab[mx] & covered
@@ -502,6 +523,52 @@ def _cg_codes(a2, a1, a3, mx, cflag, gflag):
         ),
     )
     return code.astype(jnp.int32), ccg
+
+
+def sharded_emit_fields(mesh, quirk: bool = True,
+                        het_cap: int | None = None):
+    """Multi-chip emit fields: positions data-parallel over the mesh's
+    first axis, with a 1-position ring-ppermute halo of the 1-based
+    genotype codes so the CG automaton is EXACT at slab borders
+    (print_vcf.c:227-266; same design as sharding.sharded_full_step) —
+    only the global chunk edges stay risk-flagged. Returns
+    fn(hi, lo, counts2, qual_sum, mapq2_sum, ref) -> fields dict with
+    every [n]-shaped output position-sharded. n must divide the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    nsh = mesh.devices.size
+
+    def local(hi, lo, counts2, qual_sum, mapq2_sum, ref):
+        # the winner code, recomputed exactly as emit_fields_dd will:
+        # lexicographic (hi, lo) argmax over covered rows
+        mhi = jnp.max(hi, axis=-1, keepdims=True)
+        top_hi = hi == mhi
+        lo_m = jnp.where(top_hi, lo, -jnp.inf)
+        mlo = jnp.max(lo_m, axis=-1, keepdims=True)
+        mx = jnp.argmax(top_hi & (lo_m == mlo), axis=-1).astype(
+            jnp.int32
+        )
+        covered = counts2.sum(axis=(1, 2)) > 0
+        gt1 = jnp.where(covered, mx + 1, 0)
+        fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
+        bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
+        from_left = jax.lax.ppermute(gt1[-1:], axis, fwd)[0]
+        from_right = jax.lax.ppermute(gt1[:1], axis, bwd)[0]
+        idx = jax.lax.axis_index(axis)
+        return emit_fields_dd(
+            hi, lo, counts2, qual_sum, mapq2_sum, ref, quirk=quirk,
+            het_cap=het_cap,
+            prev_ctx=(idx > 0, from_left),
+            next_ctx=(idx < nsh - 1, from_right),
+        )
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+    )
+    return dd.dd_jit(fn)
 
 
 def compact_emitted(fields: dict, cap: int):

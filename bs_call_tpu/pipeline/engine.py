@@ -1018,7 +1018,15 @@ class CallEngine:
                 jm = sys.modules["jax"]
                 try:
                     plats = jm.config.jax_platforms
-                    if plats and "cpu" in str(plats):
+                    # ONLY cpu may be listed: jm.devices("cpu")
+                    # initializes every registered platform, and a
+                    # hung accelerator runtime (wedged tunnel) then
+                    # blocks this host-only decision indefinitely
+                    names = [
+                        p.strip() for p in str(plats or "").split(",")
+                        if p.strip()
+                    ]
+                    if names and all(p == "cpu" for p in names):
                         devs = jm.devices("cpu")
                         local = jm.local_devices(backend="cpu")
                         if len(local) == len(devs):

@@ -358,3 +358,40 @@ def test_het_cap_overflow_flags_excess():
     np.testing.assert_array_equal(
         np.asarray(capped["fs_int"])[ok], fs_int[ok]
     )
+
+
+def test_sharded_emit_fields_bitwise_equal():
+    """The mesh variant (ppermute halo for CG context) must reproduce
+    the single-device kernel BIT-FOR-BIT: interior slab borders get
+    their true neighbours via the halo, so even the risk bits match
+    (only global chunk edges stay flagged)."""
+    from jax.sharding import Mesh
+
+    from bs_call_tpu.ops.genotype import ModelParams
+    from bs_call_tpu.ops.kernels.emit_device import sharded_emit_fields
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices (virtual CPU mesh)")
+    mesh = Mesh(np.array(devs[:4]), ("pos",))
+
+    rng = np.random.default_rng(17)
+    n = 512
+    params = ModelParams()
+    counts2, qual_sum, mapq2_sum, ref = _random_pileup(rng, n)
+    (hi, lo), agg, mx_h, prep = _host_prep(
+        counts2, qual_sum, mapq2_sum, ref, params
+    )
+    args = (jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts2),
+            jnp.asarray(qual_sum), jnp.asarray(mapq2_sum),
+            jnp.asarray(ref))
+    single = emit_fields_jit(*args)
+    sharded = sharded_emit_fields(mesh)(*args)
+    for k in single:
+        np.testing.assert_array_equal(
+            np.asarray(single[k]), np.asarray(sharded[k]),
+            err_msg=f"field {k} differs between mesh and single device",
+        )
+    # sanity: interior borders are unflagged, global edges flagged
+    risk = np.asarray(sharded["risk"])
+    assert risk[0] and risk[-1]
