@@ -525,6 +525,41 @@ def _cg_codes(a2, a1, a3, mx, cflag, gflag):
     return code.astype(jnp.int32), ccg
 
 
+@functools.partial(
+    dd.dd_jit, static_argnames=("n_pos", "min_qual", "params", "quirk",
+                                "het_cap")
+)
+def fused_ll_emit(rd, starts, ori, strand, mapq, ref_codes,
+                  n_pos: int, min_qual: int, params,
+                  quirk: bool = True, het_cap: int | None = None):
+    """The engine-facing emit tier: fused_ll_dd's contract (ll planes +
+    device quals for the host mismatch-rescue) PLUS the emit fields, all
+    in one compiled program. Returns (hi, lo, quals_u8, fields). The
+    caller slices fields to its window and attaches them to the block
+    soa; risky rows (plus host-rescued rows it knows about) recompute
+    through bsc_emit.cpp. No compaction here — the window is dense and
+    the splice is positional."""
+    from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+    from bs_call_tpu.ops.kernels.pileup_device import (
+        _agg_quals_f32,
+        device_pileup,
+    )
+
+    counts2, qual_sum, mapq2_sum = device_pileup(
+        rd, starts, ori, strand, mapq, n_pos, min_qual
+    )
+    counts = counts2.sum(axis=1).astype(jnp.int32)
+    quals = _agg_quals_f32(counts, qual_sum)
+    hi, lo = genotype_ll_dd(counts, quals, ref_codes, params)
+    if het_cap is None:
+        het_cap = max(n_pos // 8, 64)  # real pileups are ~1-5% het
+    fields = emit_fields_dd(
+        hi, lo, counts2, qual_sum, mapq2_sum, ref_codes, quirk=quirk,
+        het_cap=het_cap,
+    )
+    return hi, lo, quals.astype(jnp.uint8), fields
+
+
 def sharded_emit_fields(mesh, quirk: bool = True,
                         het_cap: int | None = None):
     """Multi-chip emit fields: positions data-parallel over the mesh's

@@ -210,6 +210,16 @@ class CallEngine:
         self._fused_broken = False
         self._fused_fns = {}  # (n_pos, r_pad, l_cap) -> (mesh|None, fn)
         self._fused_pos = 0  # positions seen with reads (race gating)
+        # device emit tier (SURVEY §7.4): the fused call also computes
+        # the emit fields on device; experimental, env-gated until the
+        # emitter splice has soaked (byte-safe either way: the emitter
+        # treats the attached prep as advisory and the collapsed fs is
+        # guard-band-protected)
+        import os as _os
+
+        self._emit_tier = (
+            _os.environ.get("BS_CALL_EMIT_TIER", "") == "1"
+        )
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
         self._probe_file = None  # the child's result file
@@ -394,8 +404,20 @@ class CallEngine:
                 return False  # cpu-pinned, jax never loaded: no accel
             if self._jax is None:
                 return False
-            jax = self._jax[0]
-            return any(d.platform != "cpu" for d in jax.devices())
+            # NEVER enumerate devices in-process here: jax.devices()
+            # initializes every registered platform, and a hung
+            # accelerator runtime (wedged tunnel) blocks indefinitely.
+            # The killable probe child answers visibility with a
+            # bounded wait; until it resolves, export reads
+            # optimistically — the fused gate decides with the probe's
+            # verdict before any device compile happens.
+            self._start_probe()
+            rt = self._probe_rt
+            if rt is _UNSET or rt is _PROBE_UNKNOWN:
+                return True
+            if rt is None or rt == float("inf"):
+                return False
+            return True
         except Exception:
             return False
 
@@ -458,10 +480,12 @@ class CallEngine:
     def _call_fused(self, reads: dict, lo: int, hi: int, ref_codes,
                     agg, covered_idx):
         """Fused-tier chunk call over block-relative window [lo, hi].
-        Returns (gt_prob, max_gt, margin, off) for the covered subset
-        (pre-absorption; mismatched-quals rows carry margin=0 so
-        _finish_exact's oracle rescue recomputes them from host inputs),
-        or None to fall back to the column engines."""
+        Returns (gt_prob, max_gt, margin, off, dev_prep) for the covered
+        subset (pre-absorption; mismatched-quals rows carry margin=0 so
+        _finish_exact's oracle rescue recomputes them from host inputs;
+        dev_prep is the emit tier's window-aligned field dict or None —
+        returned, not stashed, because chunks dispatch from a thread
+        pool), or None to fall back to the column engines."""
         if self._fused_broken or self._jax is None:
             return None
         sz = hi - lo + 1
@@ -490,13 +514,25 @@ class CallEngine:
             ref_pad = np.zeros(n_pos, np.int32)
             ref_pad[:sz] = np.asarray(ref_codes, dtype=np.int32)
             mesh, fn = self._fused_fn(n_pos, r_pad, l_cap)
+            fields = None
             if mesh is not None:
                 from bs_call_tpu.parallel.sharding import shard_positions
 
                 args = shard_positions(mesh, *padded, ref_pad)
             else:
                 args = (*padded, ref_pad)
-            hi_p, lo_p, dev_q = fn(*args)
+            if self._emit_tier and mesh is None:
+                from bs_call_tpu.ops.kernels.emit_device import (
+                    fused_ll_emit,
+                )
+
+                hi_p, lo_p, dev_q, fields = fused_ll_emit(
+                    *args, n_pos=n_pos, min_qual=self.cfg.min_qual,
+                    params=self._params,
+                    quirk=self.cfg.reference_quirks,
+                )
+            else:
+                hi_p, lo_p, dev_q = fn(*args)
             from bs_call_tpu.ops.genotype_dd import dd_finish
 
             hi_p = np.asarray(hi_p)[covered_idx]
@@ -514,7 +550,20 @@ class CallEngine:
             if n_mism:
                 margin = margin.copy()
                 margin[mism] = 0.0  # forces the oracle rescue
-            return gt_prob, max_gt, margin, off
+            prep = None
+            if fields is not None:
+                # window-aligned emit columns for the emitter splice;
+                # quals-mismatch rows are stale on device (margin=0
+                # already routes them to the oracle, and the caller
+                # risk-flags rescued rows by comparing final codes)
+                prep = {
+                    k: np.asarray(v)[:sz] for k, v in fields.items()
+                }
+                if n_mism:
+                    risk = prep["risk"].copy()
+                    risk[covered_idx[mism]] = True
+                    prep["risk"] = risk
+            return gt_prob, max_gt, margin, off, prep
         except Exception:
             self._fused_broken = True
             return None
@@ -753,9 +802,9 @@ class CallEngine:
             if jx is None:
                 self._probe_rt = None
                 return None
-            if not any(d.platform != "cpu" for d in jx[0].devices()):
-                self._probe_rt = None
-                return None
+            # no in-process device enumeration (it can block forever on
+            # a hung runtime): the child reports "none" when only CPU
+            # devices exist and the bounded wait handles the rest
             fd, path = tempfile.mkstemp(prefix="bsc_probe_")
             os.close(fd)
             proc = subprocess.Popen(
@@ -1110,6 +1159,7 @@ class CallEngine:
             cquals = agg["quals"][covered]
             cref = np.asarray(ref_codes, dtype=np.int32)[covered]
             res = None
+            prep = None
             if reads is not None:
                 rd_dict, lo = reads
                 hi = lo + sz - 1
@@ -1120,8 +1170,10 @@ class CallEngine:
                         rd_dict, lo, hi, ref_codes, agg, covered
                     )
                     if res is not None:
+                        prep = res[4]
                         res = self._finish_exact(
-                            *res, ccounts.astype(np.int32), cquals, cref
+                            *res[:4], ccounts.astype(np.int32), cquals,
+                            cref,
                         )
             if res is not None:
                 gt_prob, max_gt, margin, _off = res
@@ -1129,13 +1181,45 @@ class CallEngine:
                 gt_prob, max_gt, margin, _off = self._call_batch(
                     ccounts.astype(np.int32), cquals, cref
                 )
-            fs = fisher_strand(
-                counts2[covered], max_gt, not self.cfg.reference_quirks
-            )
             gt_prob_full[covered] = gt_prob
             max_gt_full[covered] = max_gt
-            fs_full[covered] = fs
-        return {
+            if prep is not None:
+                # host-side staleness: any row the exact tiers rescued
+                # (ll tie / quals mismatch -> margin 0, or a changed
+                # winner) invalidates its own prep AND its neighbours'
+                # CG context; the device fs then carries only rows the
+                # guard bands certify, the native kernel the rest
+                risk = prep["risk"].copy()
+                final_gt1 = np.where(
+                    covered_mask, max_gt_full + 1, 0
+                ).astype(prep["gt1"].dtype)
+                changed = prep["gt1"] != final_gt1
+                risk |= changed
+                risk[:-1] |= changed[1:]
+                risk[1:] |= changed[:-1]
+                mfull = np.full(sz, np.inf)
+                mfull[covered] = margin
+                risk |= covered_mask & (mfull < 1e-8)
+                prep["risk"] = risk
+                fs_w = (prep["fs_hi"].astype(np.float64)
+                        + prep["fs_lo"].astype(np.float64))
+                fs_w[~covered_mask] = 0.0
+                rc = np.nonzero(covered_mask & risk)[0]
+                if len(rc):
+                    fs_w[rc] = fisher_strand(
+                        counts2[rc], max_gt_full[rc],
+                        not self.cfg.reference_quirks,
+                    )
+                fs_full[:] = fs_w
+            else:
+                fs = fisher_strand(
+                    counts2[covered], max_gt,
+                    not self.cfg.reference_quirks,
+                )
+                fs_full[covered] = fs
+        else:
+            prep = None
+        soa = {
             "covered": covered_mask,
             "counts": counts,
             "quals": agg["quals"],
@@ -1145,6 +1229,9 @@ class CallEngine:
             "max_gt": max_gt_full,
             "fs": fs_full,
         }
+        if prep is not None:
+            soa["dev_prep"] = prep
+        return soa
 
     def call_block(self, counts2, qual_sum, mapq2_sum, ref_codes, agg=None):
         """Object view of call_block_soa for the scalar emitter path."""

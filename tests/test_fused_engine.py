@@ -107,7 +107,7 @@ def test_quals_mismatch_rescues_to_oracle(tmp_path):
     res = eng._call_fused(reads, 0, sz - 1, ref_codes, agg, covered)
     assert res is not None
     gt_prob, max_gt, margin, off = eng._finish_exact(
-        *res,
+        *res[:4],
         agg["counts"][covered].astype(np.int32),
         agg["quals"][covered],
         ref_codes[covered],
@@ -163,3 +163,50 @@ def test_auto_gate_waits_for_race(tmp_path):
     assert eng.wants_reads()
     eng._exact_engine = "f64"
     assert not eng.wants_reads()
+
+
+def test_emit_tier_byte_identity(tmp_path, monkeypatch):
+    """BS_CALL_EMIT_TIER=1 routes emit prep through the device kernel
+    (emit_device.fused_ll_emit) with per-row host rescue; VCF AND report
+    bytes must equal the numpy engine's. use_mesh=False keeps the
+    single-device fused path (the emit tier's current scope) on the
+    8-virtual-device test backend."""
+    import io
+
+    from bs_call_tpu.stats.collect import BsStats
+    from bs_call_tpu.stats.report import write_report
+
+    def run_with_report(device, **kw):
+        kw.setdefault("batch_positions", 1 << 12)
+        cfg = CallerConfig(
+            input_file=str(bam), reference_file=str(ref),
+            benchmark_mode=True, device=device, all_positions=True,
+            report_file="x.json", **kw,
+        )
+        buf = io.BytesIO()
+        stats = BsStats()
+        stats, table = run_caller(cfg, out_fileobj=buf, stats=stats)
+        rep = io.StringIO()
+        write_report(rep, cfg, stats, table)
+        return buf.getvalue(), rep.getvalue()
+
+    ref, bam = random_bam(tmp_path, n_pairs=1500, seed=13)
+    want, want_rep = run_with_report("numpy")
+
+    import bs_call_tpu.output.vector_site as vs
+
+    hits = {"n": 0}
+    orig = vs._splice_dev_prep
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            hits["n"] += 1
+        return r
+
+    monkeypatch.setattr(vs, "_splice_dev_prep", spy)
+    monkeypatch.setenv("BS_CALL_EMIT_TIER", "1")
+    got, got_rep = run_with_report("tpu", use_mesh=False)
+    assert got == want
+    assert hits["n"] > 0, "device emit prep never engaged"
+    assert got_rep == want_rep
