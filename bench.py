@@ -273,36 +273,43 @@ def bench_modes(n_reads=30000, ctg_len=300_000, runs=2):
     fixture: --no-exact (f32 device model, no f64 pass) and --device tpu
     (df32 exact on the accelerator). Over a tunneled chip both pay
     per-batch transfer latency; on co-located hosts they are the fast
-    path — the honest numbers either way, as context lines."""
+    path — the honest numbers either way, as context lines. Each run is
+    a subprocess with a hard timeout: forced-device modes block inside
+    the PJRT client when the accelerator runtime is hung, and SIGALRM
+    cannot interrupt that C call."""
+    import subprocess
     import tempfile
-
-    from bs_call_tpu.config import CallerConfig
-    from bs_call_tpu.pipeline.runner import run_caller
 
     tmp = tempfile.mkdtemp(prefix="bsc_modes_")
     ref, bam, n_recs = _make_e2e_fixture(tmp, n_reads, ctg_len)
-    out = open(os.devnull, "wb")
-    for label, kw in [
-        ("--no-exact (f32 device)", {"exact": False}),
-        ("--device tpu (df32 exact)", {"device": "tpu"}),
+    env = {**os.environ, "PYTHONPATH": os.pathsep.join(
+        p for p in (REPO, os.environ.get("PYTHONPATH")) if p
+    )}
+    for label, extra in [
+        ("--no-exact (f32 device)", ["--no-exact"]),
+        ("--device tpu (df32 exact)", ["--device", "tpu"]),
+        ("emit tier (--device tpu)", ["--device", "tpu"]),
     ]:
-        try:
-            times = []
-            for i in range(runs + 1):
-                cfg = CallerConfig(
-                    input_file=bam, reference_file=ref,
-                    benchmark_mode=True, **kw,
-                )
-                t0 = time.perf_counter()
-                run_caller(cfg, out_fileobj=out)
-                dt = time.perf_counter() - t0
-                if i > 0:
-                    times.append(dt)
-            med = sorted(times)[len(times) // 2]
-            print(
-                f"e2e {label}: {n_recs/med:.0f} reads/s",
-                file=sys.stderr,
+        emit_env = dict(env)
+        if label.startswith("emit tier"):
+            emit_env["BS_CALL_EMIT_TIER"] = "1"
+
+        def one():
+            r = subprocess.run(
+                [sys.executable, "-m", "bs_call_tpu.cli", bam, "-r",
+                 ref, "-o", os.path.join(tmp, "m.vcf"),
+                 "--benchmark-mode", "-n", "S", *extra],
+                capture_output=True, env=emit_env, cwd=REPO,
+                timeout=600,
             )
+            if r.returncode != 0:
+                raise RuntimeError(
+                    r.stderr[-400:].decode("utf-8", "replace")
+                )
+
+        try:
+            rps = _timed(one, n_recs, runs=runs, warm=1)
+            print(f"e2e {label}: {rps:.0f} reads/s", file=sys.stderr)
         except Exception as e:
             print(f"e2e {label} failed: {e}", file=sys.stderr)
 
