@@ -499,6 +499,41 @@ class CramReader:
         }
         return blocks, meta
 
+    def _ref_table(self, tid: int):
+        """1-entry (tids, offs, codes_array) table for the native
+        decoder, cached per contig (no per-slice copies)."""
+        cache = getattr(self, "_ref_table_cache", None)
+        if cache is not None and cache[0] == tid:
+            return cache[1]
+        rc = self._ref_codes(tid)
+        if rc is None:
+            args = None
+        else:
+            rc = np.ascontiguousarray(rc, dtype=np.uint8)
+            args = (
+                np.ascontiguousarray([tid], dtype=np.int32),
+                np.asarray([0, len(rc)], np.int64),
+                rc,
+            )
+        self._ref_table_cache = (tid, args)
+        return args
+
+    @staticmethod
+    def _retry_decode(call, ref_args, out, out_cap):
+        """Run one native slice decode, growing the output buffer on
+        -1 (too small) and raising on decode errors."""
+        import ctypes
+
+        while True:
+            n = call(ref_args, out, out_cap)
+            if n == -1:
+                out_cap *= 2
+                out = ctypes.create_string_buffer(out_cap)
+                continue
+            if n < 0:
+                raise RuntimeError("native CRAM decode error")
+            return n, out, out_cap
+
     def _ref_codes(self, tid: int) -> Optional[np.ndarray]:
         if self._ref_cache[0] == tid:
             return self._ref_cache[1]
@@ -568,8 +603,6 @@ class CramReader:
                 s_nrec, off = read_itf8(sh, off)
                 _cnt, off = read_ltf8(sh, off)
                 s_nblocks, off = read_itf8(sh, off)
-                if s_ref == -2:
-                    raise RuntimeError("multi-ref slice")
                 core = b""
                 ids, datas = [], []
                 for b in blocks[i + 1 : i + 1 + s_nblocks]:
@@ -583,30 +616,96 @@ class CramReader:
                 if datas:
                     offs[1:] = np.cumsum([len(d) for d in datas])
                 ids_arr = np.ascontiguousarray(ids, dtype=np.int32)
-                rc = self._ref_codes(s_ref)
-                if rc is not None:
-                    rc = np.ascontiguousarray(rc, dtype=np.uint8)
-                while True:
-                    n = lib.bsc_cram_decode_slice(
+
+                def call(ref_args, out, out_cap):
+                    if ref_args is None:
+                        return lib.bsc_cram_decode_slice_mref(
+                            ch_raw, len(ch_raw), core, len(core),
+                            len(ids), ids_arr.ctypes.data,
+                            offs.ctypes.data, blob,
+                            s_ref, s_start, s_nrec,
+                            0, None, None, None, out, out_cap,
+                        )
+                    tids_a, roffs_a, rblob = ref_args
+                    rb = (
+                        rblob
+                        if isinstance(rblob, (bytes, bytearray))
+                        else rblob.ctypes.data
+                    )
+                    return lib.bsc_cram_decode_slice_mref(
                         ch_raw, len(ch_raw), core, len(core),
                         len(ids), ids_arr.ctypes.data,
                         offs.ctypes.data, blob,
                         s_ref, s_start, s_nrec,
-                        rc.ctypes.data if rc is not None else None,
-                        len(rc) if rc is not None else 0,
-                        out, out_cap,
+                        len(tids_a), tids_a.ctypes.data,
+                        roffs_a.ctypes.data, rb, out, out_cap,
                     )
-                    if n == -1:
-                        out_cap *= 2
-                        out = ctypes.create_string_buffer(out_cap)
-                        continue
-                    if n < 0:
-                        raise RuntimeError("native CRAM decode error")
-                    break
+
+                if s_ref == -2:
+                    # multi-ref slice (CRAM 3.0 §8.5): contigs switch
+                    # per record via the RI series. Pass 1 decodes
+                    # without references only to learn the tids (each
+                    # raw-BAM record leads with its refID); pass 2
+                    # redecodes with the per-tid reference table so
+                    # sequence reconstruction matches the Python
+                    # decoder byte for byte.
+                    n, out, out_cap = self._retry_decode(
+                        call, None, out, out_cap
+                    )
+                    tids = self._blob_tids(memoryview(out)[:n])
+                    parts = []
+                    roffs = [0]
+                    for t in tids:
+                        c = self._ref_codes(int(t))
+                        parts.append(
+                            np.ascontiguousarray(c, dtype=np.uint8)
+                            if c is not None
+                            else np.zeros(0, np.uint8)
+                        )
+                        roffs.append(roffs[-1] + len(parts[-1]))
+                    keep = [
+                        k for k in range(len(tids)) if len(parts[k])
+                    ]
+                    tids_a = np.ascontiguousarray(
+                        [tids[k] for k in keep], dtype=np.int32
+                    )
+                    roffs_a = np.zeros(len(keep) + 1, dtype=np.int64)
+                    roffs_a[1:] = np.cumsum(
+                        [len(parts[k]) for k in keep]
+                    )
+                    rblob = b"".join(
+                        parts[k].tobytes() for k in keep
+                    )
+                    ref_args = (tids_a, roffs_a, rblob)
+                else:
+                    ref_args = self._ref_table(s_ref)
+                n, out, out_cap = self._retry_decode(
+                    call, ref_args, out, out_cap
+                )
                 # slice only n bytes (out.raw would copy the whole
                 # capacity, which may have grown for an earlier slice)
                 yield bytes(memoryview(out)[:n]), s_ref
                 i += 1 + s_nblocks
+
+    @staticmethod
+    def _blob_tids(mv):
+        """Distinct refIDs, in order of first appearance, of a raw-BAM
+        record stream ([u32 size][body])*: refID is the body's first
+        int32."""
+        tids = []
+        seen = set()
+        pos = 0
+        end = len(mv)
+        while pos + 8 <= end:
+            size = int.from_bytes(mv[pos:pos + 4], "little")
+            tid = int.from_bytes(
+                mv[pos + 4:pos + 8], "little", signed=True
+            )
+            if tid not in seen:
+                seen.add(tid)
+                tids.append(tid)
+            pos += 4 + size
+        return tids
 
     def _decode_container(self, blocks, meta):
         ch = _parse_comp_header(blocks[0].data)

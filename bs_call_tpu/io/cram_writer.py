@@ -66,10 +66,16 @@ def _codec_balen(len_codec: bytes, val_codec: bytes) -> bytes:
 class CramWriter:
     SLICE_RECORDS = 2000
 
-    def __init__(self, path: str, header, reference: Optional[str] = None):
+    def __init__(self, path: str, header, reference: Optional[str] = None,
+                 multi_ref: bool = False):
         """header: BamHeader; reference: FASTA path (for reference-based
-        sequence encoding; without it all bases are stored verbatim)."""
+        sequence encoding; without it all bases are stored verbatim).
+        multi_ref packs records of several contigs into one slice
+        (ref_id -2 + per-record RI, CRAM 3.0 §8.5 — what htslib emits
+        for many-small-contig inputs); positions are stored absolute
+        (AP preservation 0)."""
         self._f = open(path, "wb")
+        self.multi_ref = bool(multi_ref)
         self.header = header
         self._recs: List[tuple] = []
         self._fasta = None
@@ -120,14 +126,15 @@ class CramWriter:
         )
 
     def close(self):
-        # group into single-ref slices in input order
+        # group into slices in input order: single-ref splits at contig
+        # boundaries; multi-ref packs across them
         i = 0
         while i < len(self._recs):
             tid = self._recs[i][2]
             j = i
             while (
                 j < len(self._recs)
-                and self._recs[j][2] == tid
+                and (self.multi_ref or self._recs[j][2] == tid)
                 and j - i < self.SLICE_RECORDS
             ):
                 j += 1
@@ -143,9 +150,14 @@ class CramWriter:
         ext: Dict[int, bytearray] = {cid: bytearray() for cid in E.values()}
         core = BitWriter()
         tid = recs[0][2]
-        start = min(r[3] for r in recs) + 1
-        end = max(r[3] + max(1, _ref_len(r[5])) for r in recs)
-        ref_codes = self._ref_codes(tid)
+        mixed = self.multi_ref and any(r[2] != tid for r in recs)
+        if mixed:
+            tid = -2
+            start = 0
+            end = 0
+        else:
+            start = min(r[3] for r in recs) + 1
+            end = max(r[3] + max(1, _ref_len(r[5])) for r in recs)
 
         # tag dictionary
         tag_lines: List[Tuple[Tuple[str, str], ...]] = []
@@ -190,9 +202,14 @@ class CramWriter:
                 cf |= 0x2
             put_itf8("BF", flag & 0xFFF)
             put_itf8("CF", cf)
+            if tid == -2:
+                put_itf8("RI", rtid)
             put_itf8("RL", len(seq))
-            put_itf8("AP", (pos + 1) - prev_pos)
-            prev_pos = pos + 1
+            if self.multi_ref:
+                put_itf8("AP", pos + 1)  # absolute (AP preservation 0)
+            else:
+                put_itf8("AP", (pos + 1) - prev_pos)
+                prev_pos = pos + 1
             # RG via gamma in core: value -1
             _gamma_write(core, -1, offset=1)
             ext[E["RN"]] += name.encode() + b"\x00"
@@ -213,7 +230,9 @@ class CramWriter:
                 ext[E["TAGL"]] += write_itf8(len(val))
                 ext[E["TAGV"]] += val
             if not (flag & 4):
-                feats = self._features(seq, qual, cigar, pos, ref_codes)
+                feats = self._features(
+                    seq, qual, cigar, pos, self._ref_codes(rtid)
+                )
                 put_itf8("FN", len(feats))
                 prev_fp = 0
                 for fpos, fc, payload in feats:
@@ -237,6 +256,7 @@ class CramWriter:
                 ext[E["QS"]] += bytes(qual.tolist())
 
         comp = self._comp_header(tag_lines)
+        span = 0 if tid == -2 else end - start + 1
         blocks = []
         core_data = core.getvalue()
         blocks.append(_write_block(M_RAW, CT_CORE, 0, core_data))
@@ -246,7 +266,7 @@ class CramWriter:
             blocks.append(
                 _write_block(method, CT_EXTERNAL, cid, bytes(ext[cid]))
             )
-        sh = write_itf8(tid) + write_itf8(start) + write_itf8(end - start + 1)
+        sh = write_itf8(tid) + write_itf8(start) + write_itf8(span)
         sh += write_itf8(len(recs)) + write_ltf8(0)
         sh += write_itf8(len(blocks))
         sh += write_itf8(len(used))
@@ -258,7 +278,7 @@ class CramWriter:
         payload = comp + slice_hdr + b"".join(blocks)
         self._write_container(
             payload, 2 + len(blocks), ref_id=tid, start=start,
-            span=end - start + 1, n_records=len(recs),
+            span=span, n_records=len(recs),
         )
 
     def _features(self, seq, qual, cigar, pos, ref_codes):
@@ -309,7 +329,7 @@ class CramWriter:
         pres = bytearray()
         entries = []
         entries.append((b"RN", b"\x01"))
-        entries.append((b"AP", b"\x01"))
+        entries.append((b"AP", b"\x00" if self.multi_ref else b"\x01"))
         entries.append((b"RR", b"\x01"))
         entries.append((b"SM", bytes([0x1B] * 5)))
         td = b"\x00".join(
@@ -345,6 +365,8 @@ class CramWriter:
             "IN": _codec_bastop(0, E["IN"]),
             "MQ": _codec_beta(0, 8),
         }
+        if self.multi_ref:
+            series["RI"] = _codec_external(E["RI"])
         sbody = write_itf8(len(series))
         for key, spec in series.items():
             sbody += key.encode() + spec

@@ -195,5 +195,16 @@ def load():
             ctypes.c_void_p, ctypes.c_int64,   # ref codes
             ctypes.c_void_p, ctypes.c_int64,   # out
         ]
+        lib.bsc_cram_decode_slice_mref.restype = ctypes.c_int64
+        lib.bsc_cram_decode_slice_mref.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,   # comp header
+            ctypes.c_void_p, ctypes.c_int64,   # core block
+            ctypes.c_int32, ctypes.c_void_p,   # n_ext, ids
+            ctypes.c_void_p, ctypes.c_void_p,  # offs, blob
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,  # ref/start/nrec
+            ctypes.c_int32, ctypes.c_void_p,   # n_refs, tids
+            ctypes.c_void_p, ctypes.c_void_p,  # ref offs, ref blob
+            ctypes.c_void_p, ctypes.c_int64,   # out
+        ]
         _lib = lib
         return _lib

@@ -497,18 +497,22 @@ uint8_t *emit_rec(const CRec &r, uint8_t *p) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Decode one slice. ext blocks are passed as a concatenated blob with
 // n_ext (id, offset) pairs; offsets has n_ext+1 entries delimiting each
-// block. Returns bytes written to out, -1 if out_cap too small (caller
-// grows and retries), -2 on decode error.
-int64_t bsc_cram_decode_slice(
+// block. References come as a per-tid table (multi-ref slices switch
+// contigs per record via the RI series, CRAM 3.0 §8.5): n_refs
+// (tid, offset) pairs into ref_blob, offsets n_refs+1 entries. Returns
+// bytes written to out, -1 if out_cap too small (caller grows and
+// retries), -2 on decode error.
+int64_t decode_slice_impl(
     const uint8_t *ch_raw, int64_t ch_len, const uint8_t *core_d,
     int64_t core_len, int32_t n_ext, const int32_t *ext_ids,
     const int64_t *ext_offs, const uint8_t *ext_blob, int32_t s_ref,
-    int32_t s_start, int32_t n_rec, const uint8_t *ref_codes,
-    int64_t ref_len, uint8_t *out, int64_t out_cap) {
+    int32_t s_start, int32_t n_rec, int32_t n_refs,
+    const int32_t *ref_tids, const int64_t *ref_offs,
+    const uint8_t *ref_blob, uint8_t *out, int64_t out_cap) {
     try {
         CompHeader ch = parse_comp_header(ch_raw, ch_len);
         Bits core{core_d, core_len};
@@ -526,6 +530,15 @@ int64_t bsc_cram_decode_slice(
             int32_t cf = read_int(ch.S("CF"), core, ext);
             r.tid = s_ref;
             if (s_ref == -2) r.tid = read_int(ch.S("RI"), core, ext);
+            const uint8_t *ref_codes = nullptr;
+            int64_t ref_len = 0;
+            for (int32_t q = 0; q < n_refs; q++) {
+                if (ref_tids[q] == r.tid) {
+                    ref_codes = ref_blob + ref_offs[q];
+                    ref_len = ref_offs[q + 1] - ref_offs[q];
+                    break;
+                }
+            }
             r.rl = read_int(ch.S("RL"), core, ext);
             if (r.rl < 0 || r.rl > (1 << 27))
                 throw std::runtime_error("bad read length");
@@ -752,6 +765,40 @@ int64_t bsc_cram_decode_slice(
     } catch (...) {
         return -2;
     }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Single-ref entry (historic ABI): the slice's one contig, or NULL for
+// no-reference decoding.
+int64_t bsc_cram_decode_slice(
+    const uint8_t *ch_raw, int64_t ch_len, const uint8_t *core_d,
+    int64_t core_len, int32_t n_ext, const int32_t *ext_ids,
+    const int64_t *ext_offs, const uint8_t *ext_blob, int32_t s_ref,
+    int32_t s_start, int32_t n_rec, const uint8_t *ref_codes,
+    int64_t ref_len, uint8_t *out, int64_t out_cap) {
+    int64_t offs[2] = {0, ref_len};
+    return decode_slice_impl(
+        ch_raw, ch_len, core_d, core_len, n_ext, ext_ids, ext_offs,
+        ext_blob, s_ref, s_start, n_rec, ref_codes ? 1 : 0, &s_ref,
+        offs, ref_codes, out, out_cap);
+}
+
+// Multi-ref entry: per-tid reference table for s_ref == -2 slices
+// (and any slice whose records span several contigs).
+int64_t bsc_cram_decode_slice_mref(
+    const uint8_t *ch_raw, int64_t ch_len, const uint8_t *core_d,
+    int64_t core_len, int32_t n_ext, const int32_t *ext_ids,
+    const int64_t *ext_offs, const uint8_t *ext_blob, int32_t s_ref,
+    int32_t s_start, int32_t n_rec, int32_t n_refs,
+    const int32_t *ref_tids, const int64_t *ref_offs,
+    const uint8_t *ref_blob, uint8_t *out, int64_t out_cap) {
+    return decode_slice_impl(
+        ch_raw, ch_len, core_d, core_len, n_ext, ext_ids, ext_offs,
+        ext_blob, s_ref, s_start, n_rec, n_refs, ref_tids, ref_offs,
+        ref_blob, out, out_cap);
 }
 
 }  // extern "C"

@@ -103,3 +103,21 @@ def test_blob_structure_valid(tmp_path):
         n += 1
     assert off == len(blob)
     assert n == 100
+
+
+def test_native_multiref_slice_decode_bitwise(tmp_path):
+    """Multi-ref slices (ref_id -2, per-record RI) through the native
+    decoder's two-pass per-tid reference table must match the Python
+    decoder bit for bit."""
+    from bs_call_tpu.io.bam import BamHeader
+    from bs_call_tpu.io.cram_writer import CramWriter
+
+    from test_cram import make_multicontig_dataset
+
+    ref, hdr, recs = make_multicontig_dataset(tmp_path, seed=8)
+    cram = tmp_path / "mr.cram"
+    wc = CramWriter(str(cram), hdr, reference=ref, multi_ref=True)
+    for r in recs:
+        wc.write(*r)
+    wc.close()
+    assert _native_blob(str(cram), ref) == _python_blob(str(cram), ref)
