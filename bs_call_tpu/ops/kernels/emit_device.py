@@ -560,6 +560,83 @@ def fused_ll_emit(rd, starts, ori, strand, mapq, ref_codes,
     return hi, lo, quals.astype(jnp.uint8), fields
 
 
+def _winner_codes(hi, lo, counts2):
+    """1-based genotype codes exactly as emit_fields_dd derives them:
+    lexicographic (hi, lo) argmax, 0 where uncovered."""
+    mhi = jnp.max(hi, axis=-1, keepdims=True)
+    top_hi = hi == mhi
+    lo_m = jnp.where(top_hi, lo, -jnp.inf)
+    mlo = jnp.max(lo_m, axis=-1, keepdims=True)
+    mx = jnp.argmax(top_hi & (lo_m == mlo), axis=-1).astype(jnp.int32)
+    covered = counts2.sum(axis=(1, 2)) > 0
+    return jnp.where(covered, mx + 1, 0)
+
+
+def _gt1_halo(gt1, axis, nsh):
+    """Ring-ppermute the slab-border genotype codes; returns
+    (prev_ctx, next_ctx) for emit_fields_dd (global ends unknown)."""
+    fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
+    bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
+    from_left = jax.lax.ppermute(gt1[-1:], axis, fwd)[0]
+    from_right = jax.lax.ppermute(gt1[:1], axis, bwd)[0]
+    idx = jax.lax.axis_index(axis)
+    return ((idx > 0, from_left), (idx < nsh - 1, from_right))
+
+
+def sharded_fused_ll_emit(mesh, params, n_pos: int, min_qual: int,
+                          quirk: bool = True,
+                          het_cap: int | None = None):
+    """Multi-chip emit tier: sharded_fused_ll_dd's contract (reads
+    data-parallel, one psum merges the pileup over ICI, each chip runs
+    the dd model on its contiguous slab) PLUS the emit fields with a
+     1-position genotype halo so the CG automaton is exact at slab
+    borders. Returns fn(rd, starts, ori, strand, mapq, ref) ->
+    (hi, lo, quals_u8, fields), everything position-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from bs_call_tpu.ops.genotype_dd import genotype_ll_dd
+    from bs_call_tpu.ops.kernels.pileup_device import (
+        _agg_quals_f32,
+        device_pileup,
+    )
+
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+    assert n_pos % nd == 0
+    shard = n_pos // nd
+    cap = het_cap if het_cap is not None else max(shard // 8, 64)
+
+    def local(rd, starts, ori, strand, mapq, ref_shard):
+        counts2, qual_sum, mapq2_sum = device_pileup(
+            rd, starts, ori, strand, mapq, n_pos, min_qual
+        )
+        counts2 = jax.lax.psum(counts2, axis)
+        qual_sum = jax.lax.psum(qual_sum, axis)
+        mapq2_sum = jax.lax.psum(mapq2_sum, axis)
+        i = jax.lax.axis_index(axis)
+        c2 = jax.lax.dynamic_slice_in_dim(counts2, i * shard, shard)
+        qs = jax.lax.dynamic_slice_in_dim(qual_sum, i * shard, shard)
+        m2 = jax.lax.dynamic_slice_in_dim(mapq2_sum, i * shard, shard)
+        counts = c2.sum(axis=1)
+        quals = _agg_quals_f32(counts, qs)
+        hi, lo = genotype_ll_dd(counts, quals, ref_shard, params)
+        prev_ctx, next_ctx = _gt1_halo(
+            _winner_codes(hi, lo, c2), axis, nd
+        )
+        fields = emit_fields_dd(
+            hi, lo, c2, qs, m2, ref_shard, quirk=quirk, het_cap=cap,
+            prev_ctx=prev_ctx, next_ctx=next_ctx,
+        )
+        return hi, lo, quals.astype(jnp.uint8), fields
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) * 6,
+        out_specs=P(axis),
+    )
+    return dd.dd_jit(fn)
+
+
 def sharded_emit_fields(mesh, quirk: bool = True,
                         het_cap: int | None = None):
     """Multi-chip emit fields: positions data-parallel over the mesh's
@@ -575,27 +652,12 @@ def sharded_emit_fields(mesh, quirk: bool = True,
     nsh = mesh.devices.size
 
     def local(hi, lo, counts2, qual_sum, mapq2_sum, ref):
-        # the winner code, recomputed exactly as emit_fields_dd will:
-        # lexicographic (hi, lo) argmax over covered rows
-        mhi = jnp.max(hi, axis=-1, keepdims=True)
-        top_hi = hi == mhi
-        lo_m = jnp.where(top_hi, lo, -jnp.inf)
-        mlo = jnp.max(lo_m, axis=-1, keepdims=True)
-        mx = jnp.argmax(top_hi & (lo_m == mlo), axis=-1).astype(
-            jnp.int32
+        prev_ctx, next_ctx = _gt1_halo(
+            _winner_codes(hi, lo, counts2), axis, nsh
         )
-        covered = counts2.sum(axis=(1, 2)) > 0
-        gt1 = jnp.where(covered, mx + 1, 0)
-        fwd = [(i, (i + 1) % nsh) for i in range(nsh)]
-        bwd = [(i, (i - 1) % nsh) for i in range(nsh)]
-        from_left = jax.lax.ppermute(gt1[-1:], axis, fwd)[0]
-        from_right = jax.lax.ppermute(gt1[:1], axis, bwd)[0]
-        idx = jax.lax.axis_index(axis)
         return emit_fields_dd(
             hi, lo, counts2, qual_sum, mapq2_sum, ref, quirk=quirk,
-            het_cap=het_cap,
-            prev_ctx=(idx > 0, from_left),
-            next_ctx=(idx < nsh - 1, from_right),
+            het_cap=het_cap, prev_ctx=prev_ctx, next_ctx=next_ctx,
         )
 
     fn = jax.shard_map(

@@ -220,6 +220,7 @@ class CallEngine:
         self._emit_tier = (
             _os.environ.get("BS_CALL_EMIT_TIER", "") == "1"
         )
+        self._emit_fns = {}  # (n_pos, r_pad, l_cap) -> sharded emit fn
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
         self._probe_file = None  # the child's result file
@@ -531,6 +532,20 @@ class CallEngine:
                     params=self._params,
                     quirk=self.cfg.reference_quirks,
                 )
+            elif self._emit_tier:
+                key = (n_pos, r_pad, l_cap)
+                fe = self._emit_fns.get(key)
+                if fe is None:
+                    from bs_call_tpu.ops.kernels.emit_device import (
+                        sharded_fused_ll_emit,
+                    )
+
+                    fe = sharded_fused_ll_emit(
+                        mesh, self._params, n_pos, self.cfg.min_qual,
+                        quirk=self.cfg.reference_quirks,
+                    )
+                    self._emit_fns[key] = fe
+                hi_p, lo_p, dev_q, fields = fe(*args)
             else:
                 hi_p, lo_p, dev_q = fn(*args)
             from bs_call_tpu.ops.genotype_dd import dd_finish

@@ -165,12 +165,13 @@ def test_auto_gate_waits_for_race(tmp_path):
     assert not eng.wants_reads()
 
 
-def test_emit_tier_byte_identity(tmp_path, monkeypatch):
+@pytest.mark.parametrize("mesh", [False, True])
+def test_emit_tier_byte_identity(tmp_path, monkeypatch, spy_engine,
+                                 mesh):
     """BS_CALL_EMIT_TIER=1 routes emit prep through the device kernel
-    (emit_device.fused_ll_emit) with per-row host rescue; VCF AND report
-    bytes must equal the numpy engine's. use_mesh=False keeps the
-    single-device fused path (the emit tier's current scope) on the
-    8-virtual-device test backend."""
+    (fused_ll_emit single-device; sharded_fused_ll_emit with the
+    genotype halo when the mesh engages) with per-row host rescue; VCF
+    AND report bytes must equal the numpy engine's."""
     import io
 
     from bs_call_tpu.stats.collect import BsStats
@@ -206,7 +207,9 @@ def test_emit_tier_byte_identity(tmp_path, monkeypatch):
 
     monkeypatch.setattr(vs, "_splice_dev_prep", spy)
     monkeypatch.setenv("BS_CALL_EMIT_TIER", "1")
-    got, got_rep = run_with_report("tpu", use_mesh=False)
+    got, got_rep = run_with_report("tpu", use_mesh=mesh)
     assert got == want
     assert hits["n"] > 0, "device emit prep never engaged"
     assert got_rep == want_rep
+    if mesh:
+        assert spy_engine["mesh"] > 0, "mesh never engaged"
