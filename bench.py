@@ -285,14 +285,15 @@ def bench_modes(n_reads=30000, ctg_len=300_000, runs=2):
     env = {**os.environ, "PYTHONPATH": os.pathsep.join(
         p for p in (REPO, os.environ.get("PYTHONPATH")) if p
     )}
-    for label, extra in [
-        ("--no-exact (f32 device)", ["--no-exact"]),
-        ("--device tpu (df32 exact)", ["--device", "tpu"]),
-        ("emit tier (--device tpu)", ["--device", "tpu"]),
+    # pin the emit tier per row (it is default-on for --device tpu, so
+    # the df32 row must opt out to stay a distinct baseline)
+    for label, extra, emit in [
+        ("--no-exact (f32 device)", ["--no-exact"], "0"),
+        ("--device tpu (df32 exact)", ["--device", "tpu"], "0"),
+        ("emit tier (--device tpu)", ["--device", "tpu"], "1"),
     ]:
         emit_env = dict(env)
-        if label.startswith("emit tier"):
-            emit_env["BS_CALL_EMIT_TIER"] = "1"
+        emit_env["BS_CALL_EMIT_TIER"] = emit
 
         def one():
             r = subprocess.run(

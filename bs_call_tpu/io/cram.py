@@ -499,6 +499,43 @@ class CramReader:
         }
         return blocks, meta
 
+    def _mref_table(self, tids):
+        """Assembled (tids, offs, blob) reference table for a multi-ref
+        slice's tid set. Consecutive multi-ref slices of many-small-
+        contig files repeat tid sets, so assembled tables are cached by
+        tid tuple and the per-tid codes in their own dict (the 1-entry
+        _ref_codes cache would thrash)."""
+        tables = getattr(self, "_mref_tables", None)
+        if tables is None:
+            tables = self._mref_tables = {}
+            self._mref_codes = {}
+        key = tuple(tids)
+        hit = tables.get(key)
+        if hit is not None:
+            return hit
+        parts = []
+        kept = []
+        for t in tids:
+            t = int(t)
+            c = self._mref_codes.get(t)
+            if c is None and t not in self._mref_codes:
+                raw = self._ref_codes(t)
+                c = (
+                    np.ascontiguousarray(raw, dtype=np.uint8)
+                    if raw is not None else None
+                )
+                self._mref_codes[t] = c
+            if c is not None and len(c):
+                kept.append(t)
+                parts.append(c)
+        tids_a = np.ascontiguousarray(kept, dtype=np.int32)
+        roffs_a = np.zeros(len(kept) + 1, dtype=np.int64)
+        if parts:
+            roffs_a[1:] = np.cumsum([len(p) for p in parts])
+        rblob = b"".join(p.tobytes() for p in parts)
+        tables[key] = (tids_a, roffs_a, rblob)
+        return tables[key]
+
     def _ref_table(self, tid: int):
         """1-entry (tids, offs, codes_array) table for the native
         decoder, cached per contig (no per-slice copies)."""
@@ -566,9 +603,9 @@ class CramReader:
         per-record codec/feature loop never touches Python; blobs feed
         the push-mode block builder directly.
 
-        Raises RuntimeError when the native library is unavailable, on a
-        multi-ref slice (per-record reference switching stays on the
-        Python path), or on a decode error."""
+        Multi-ref slices (ref_id -2, per-record RI) decode natively via
+        a two-pass per-tid reference table. Raises RuntimeError when the
+        native library is unavailable or on a decode error."""
         import ctypes
 
         import numpy as np
@@ -653,30 +690,7 @@ class CramReader:
                         call, None, out, out_cap
                     )
                     tids = self._blob_tids(memoryview(out)[:n])
-                    parts = []
-                    roffs = [0]
-                    for t in tids:
-                        c = self._ref_codes(int(t))
-                        parts.append(
-                            np.ascontiguousarray(c, dtype=np.uint8)
-                            if c is not None
-                            else np.zeros(0, np.uint8)
-                        )
-                        roffs.append(roffs[-1] + len(parts[-1]))
-                    keep = [
-                        k for k in range(len(tids)) if len(parts[k])
-                    ]
-                    tids_a = np.ascontiguousarray(
-                        [tids[k] for k in keep], dtype=np.int32
-                    )
-                    roffs_a = np.zeros(len(keep) + 1, dtype=np.int64)
-                    roffs_a[1:] = np.cumsum(
-                        [len(parts[k]) for k in keep]
-                    )
-                    rblob = b"".join(
-                        parts[k].tobytes() for k in keep
-                    )
-                    ref_args = (tids_a, roffs_a, rblob)
+                    ref_args = self._mref_table(tids)
                 else:
                     ref_args = self._ref_table(s_ref)
                 n, out, out_cap = self._retry_decode(

@@ -33,26 +33,15 @@ import numpy as np
 
 from bs_call_tpu.constants import GT_HET
 from bs_call_tpu.ops import ddmath as dd
-from bs_call_tpu.ops.postprocess import _FTAB_MASK_A, _FTAB_MASK_B
+from bs_call_tpu.ops.postprocess import (
+    _FTAB_MASK_A,
+    _FTAB_MASK_B,
+    MAC_MASK_A as _MAC_A,
+    MAC_MASK_B as _MAC_B,
+    MAC_VALID as _MAC_VALID,
+)
 
 F32 = jnp.float32
-
-# mac1 minor-allele category masks per het genotype (print_vcf.c:192-212,
-# the kMac table in bsc_emit.cpp)
-_MAC_A = np.zeros((10, 8), dtype=np.int32)
-_MAC_B = np.zeros((10, 8), dtype=np.int32)
-_MAC_VALID = np.zeros(10, dtype=bool)
-for _g, _a, _b in [
-    (1, (1, 5, 7), (0, 4)),
-    (2, (2, 6), (0,)),
-    (3, (3, 7), (0, 4)),
-    (5, (2, 6, 4), (1, 5, 7)),
-    (6, (3,), (1, 5)),
-    (8, (3, 7), (2, 6, 4)),
-]:
-    _MAC_A[_g, list(_a)] = 1
-    _MAC_B[_g, list(_b)] = 1
-    _MAC_VALID[_g] = True
 
 _FISHER_IMAX = 512  # device tail-walk bound; longer walks -> host rescue
 _LFACT_N = 1 << 14  # lfact table size; deeper tables -> host rescue
@@ -480,7 +469,7 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
     edge = edge.at[0].set(~prev_known).at[-1].set(~next_known)
     risk |= edge
     risk |= margin < F32(1e-9)  # ll tie: oracle rescue regardless
-    het = het_tab[mx] & covered
+    het = is_het  # (het_tab[mx] & covered, computed for Fisher above)
     return {
         "covered": covered, "gt_prob_hi": gp[0], "gt_prob_lo": gp[1],
         "max_gt": mx, "margin": margin, "counts": counts,
@@ -488,7 +477,7 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
         "fs_int": fs_int, "fs_hi": fs_dd[0], "fs_lo": fs_dd[1],
         "flt": flt, "mac1": mac1, "gl_vals": gl_vals, "gl_len": gl_len,
         "cg_code": cg_code, "cond_cg": cond_cg, "het": het,
-        "gt1": gt1, "risk": risk,
+        "gt1": gt1, "ref5": r, "risk": risk,
     }
 
 
@@ -505,9 +494,10 @@ def _cg_codes(a2, a1, a3, mx, cflag, gflag):
     g3c = jnp.maximum(a3 - 1, 0)
     ccg = ((a2 == 5) & (a3 == 8)) | ((a2 == 8) & (a1 == 5))
     Q, H, N, G, D = (ord("?"), ord("H"), ord("N"), ord("G"), ord("."))
+    # the CC branch (a2==5) and the cflag[mx] branch share one
+    # expression (print_vcf.c evaluates the same a3/gflag lookahead)
     code_a3 = jnp.where(a3 > 0, jnp.where(gflag[g3c], H, N), Q)
     code_a1 = jnp.where(a1 > 0, jnp.where(cflag[g1c], H, N), Q)
-    code_c = jnp.where(a3 > 0, jnp.where(gflag[g3c], H, N), Q)
     code_g = jnp.where(a1 > 0, jnp.where(cflag[g1c], H, N), D)
     code = jnp.where(
         ccg, G,
@@ -516,7 +506,7 @@ def _cg_codes(a2, a1, a3, mx, cflag, gflag):
             jnp.where(
                 a2 == 8, code_a1,
                 jnp.where(
-                    cflag[jnp.clip(mx, 0, 9)], code_c,
+                    cflag[jnp.clip(mx, 0, 9)], code_a3,
                     jnp.where(gflag[jnp.clip(mx, 0, 9)], code_g, D),
                 ),
             ),

@@ -247,6 +247,11 @@ def _splice_dev_prep(soa, idx, counts, gt_prob, g, r, mq, fs,
     g1d = np.concatenate(([0], gt1w[:-1]))[idx]
     g3d = np.concatenate((gt1w[1:], [0]))[idx]
     risk |= (gt1w[idx] != g2) | (g1d != g1) | (g3d != g3)
+    # the emitter's reference code is context-TRUNCATED (strncpy
+    # semantics zero it for up to 2 positions after an N,
+    # print_vcf.c:563-580) while the device used the raw code: any
+    # disagreement changes the GL layout, so those rows rescue
+    risk |= dev["ref5"][idx] != r
     phred = dev["phred"][idx].astype(np.int64)
     dp1 = dev["dp1"][idx].astype(np.int64)
     qd = dev["qd"][idx].astype(np.int64)
@@ -528,17 +533,12 @@ class VectorBlockEmitter:
                 | ((fs_int > 60).astype(np.int64) << 2)
                 | ((mq < 40).astype(np.int64) << 3)
             )
-            # mac1 (print_vcf.c:192-212)
+            # mac1 (print_vcf.c:192-212; shared table in postprocess)
+            from bs_call_tpu.ops.postprocess import MAC_CATS
+
             c = counts
             mac1 = np.zeros(n, dtype=bool)
-            for gv, (sa, sb) in {
-                1: ((1, 5, 7), (0, 4)),
-                2: ((2, 6), (0,)),
-                3: ((3, 7), (0, 4)),
-                5: ((2, 6, 4), (1, 5, 7)),
-                6: ((3,), (1, 5)),
-                8: ((3, 7), (2, 6, 4)),
-            }.items():
+            for gv, (sa, sb) in MAC_CATS.items():
                 m = g == gv
                 if m.any():
                     mac1[m] = (c[m][:, list(sa)].sum(axis=1) <= 1) | (

@@ -213,3 +213,51 @@ def test_emit_tier_byte_identity(tmp_path, monkeypatch, spy_engine,
     assert got_rep == want_rep
     if mesh:
         assert spy_engine["mesh"] > 0, "mesh never engaged"
+
+
+def test_emit_tier_reference_with_N(tmp_path, monkeypatch):
+    """The emitter's reference code is context-TRUNCATED after an N
+    (strncpy semantics, print_vcf.c:563-580) while the device kernel
+    uses raw codes — those rows must rescue to the host, keeping bytes
+    identical on N-holed references (found by review: unflagged GL
+    layout divergence)."""
+    import io
+
+    import numpy as np
+
+    from bs_call_tpu.io.bam import BamHeader, BamWriter
+
+    rng = np.random.default_rng(3)
+    L = 4000
+    seq = rng.choice(list("ACGT"), L)
+    # pepper Ns so many covered sites sit 1-2 positions after one
+    for p in range(50, L - 3, 37):
+        seq[p] = "N"
+    ref = tmp_path / "n.fa"
+    ref.write_text(
+        ">chr1\n" + "\n".join(
+            "".join(seq[i:i + 60]) for i in range(0, L, 60)
+        ) + "\n"
+    )
+    hdr = BamHeader(
+        text=f"@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chr1\tLN:{L}\n",
+        ref_names=["chr1"], ref_lens=[L],
+    )
+    bam = tmp_path / "n.bam"
+    w = BamWriter(str(bam), hdr)
+    bases = "ACGT"
+    k = 0
+    for pos in range(0, L - 80, 3):
+        rl = 60
+        rseq = ["A" if b == "N" else b for b in seq[pos:pos + rl]]
+        for i in np.nonzero(rng.random(rl) < 0.03)[0]:
+            rseq[i] = bases[int(rng.integers(0, 4))]
+        q = rng.integers(20, 44, rl).astype(np.uint8)
+        w.write(f"r{k:05d}", 0, 0, pos, 57, [(rl, 0)], -1, -1, 0,
+                "".join(rseq), q)
+        k += 1
+    w.close()
+    want = _run(bam, ref, "numpy")
+    monkeypatch.setenv("BS_CALL_EMIT_TIER", "1")
+    got = _run(bam, ref, "tpu", use_mesh=False)
+    assert got == want
