@@ -62,6 +62,29 @@ out.write("rt %r\\n" % (time.perf_counter() - t0))
 """
 
 
+def _devices_first_touch(jax_mod, timeout: float = 20.0):
+    """First in-process device enumeration, on a DAEMON thread with a
+    deadline: initializing a hung accelerator runtime otherwise blocks
+    the main thread forever inside the PJRT client (observed live with
+    a wedged tunnel). Returns the device list, or None when
+    unavailable/hung (a leaked daemon thread stuck in C dies with the
+    process)."""
+    import threading
+
+    box = {}
+
+    def go():
+        try:
+            box["devs"] = jax_mod.devices()
+        except Exception:
+            box["devs"] = None
+
+    t = threading.Thread(target=go, daemon=True, name="bsc-dev-touch")
+    t.start()
+    t.join(timeout)
+    return box.get("devs")
+
+
 def _probe_env_key(bp: int) -> str:
     """Per-host device fingerprint that does NOT initialize any jax
     backend: consulting the cache must never touch the accelerator —
@@ -636,6 +659,14 @@ class CallEngine:
                     f"{_ms(rt)} vs f64 chunk {_ms(t_f64)})"
                 )
                 return False
+            # racing the real engine is this process's FIRST device
+            # touch: bound it (a hung runtime would block forever)
+            if _devices_first_touch(self._jax[0]) is None:
+                self._exact_engine = "f64"
+                self._trace_decision(
+                    "exact engine: f64 (device init unavailable)"
+                )
+                return False
             t_fused = clock(
                 lambda: self._call_fused(
                     reads, lo, hi, ref_codes, agg, covered_idx
@@ -893,6 +924,12 @@ class CallEngine:
                 return "f64"
             if self._jax is None:  # accel plausible but no jax: host
                 self._exact_engine = "f64"
+                return "f64"
+            if _devices_first_touch(self._jax[0]) is None:
+                self._exact_engine = "f64"
+                self._trace_decision(
+                    "exact engine: f64 (device init unavailable)"
+                )
                 return "f64"
             t_dd = clock(lambda: self._call_dd(counts, quals, ref))
             self._exact_engine = (
