@@ -660,8 +660,10 @@ class CallEngine:
                 )
                 return False
             # racing the real engine is this process's FIRST device
-            # touch: bound it (a hung runtime would block forever)
-            if _devices_first_touch(self._jax[0]) is None:
+            # touch: bound it (a hung runtime would block forever; a
+            # healthy one inits in ~1-2 s, so 8 s only misses the
+            # accelerator when it was never going to answer)
+            if _devices_first_touch(self._jax[0], timeout=8.0) is None:
                 self._exact_engine = "f64"
                 self._trace_decision(
                     "exact engine: f64 (device init unavailable)"
@@ -925,7 +927,7 @@ class CallEngine:
             if self._jax is None:  # accel plausible but no jax: host
                 self._exact_engine = "f64"
                 return "f64"
-            if _devices_first_touch(self._jax[0]) is None:
+            if _devices_first_touch(self._jax[0], timeout=8.0) is None:
                 self._exact_engine = "f64"
                 self._trace_decision(
                     "exact engine: f64 (device init unavailable)"
