@@ -470,8 +470,13 @@ def emit_fields_dd(hi, lo, counts2, qual_sum, mapq2_sum, ref_codes,
     risk |= edge
     risk |= margin < F32(1e-9)  # ll tie: oracle rescue regardless
     het = is_het  # (het_tab[mx] & covered, computed for Fisher above)
+    # the [n,10] log10-posterior planes (gp) stay ON DEVICE: every
+    # printed value derived from them (GL, phred, max_gt) is already a
+    # field below, and risky rows rescue through the host engines from
+    # host-side inputs — shipping gp would double the tier's D2H for
+    # nothing (audited: no prep consumer reads them)
     return {
-        "covered": covered, "gt_prob_hi": gp[0], "gt_prob_lo": gp[1],
+        "covered": covered,
         "max_gt": mx, "margin": margin, "counts": counts,
         "quals": quals, "mq": mq, "phred": ph, "dp1": dp1, "qd": qd,
         "fs_int": fs_int, "fs_hi": fs_dd[0], "fs_lo": fs_dd[1],

@@ -234,17 +234,17 @@ class CallEngine:
         self._fused_fns = {}  # (n_pos, r_pad, l_cap) -> (mesh|None, fn)
         self._fused_pos = 0  # positions seen with reads (race gating)
         # device emit tier (SURVEY §7.4): the fused call also computes
-        # the emit fields on device. Default ON when the user forces the
-        # accelerator (device=tpu) — byte-safety does not depend on
-        # device float behavior (guard-banded risk bits + host rescue,
-        # plus the quals/lag-code/margin compares); BS_CALL_EMIT_TIER=0
-        # opts out, =1 forces it for device=auto's fused engine too.
+        # the emit fields on device. Default ON wherever the fused tier
+        # engages (device=tpu forces it; device=auto reaches it only
+        # when the engine race picks "fused", and the race times the
+        # fused+emit program, so a host that loses with the tier on
+        # simply stays on f64) — byte-safety does not depend on device
+        # float behavior (guard-banded risk bits + host rescue, plus
+        # the quals/lag-code/margin compares). BS_CALL_EMIT_TIER=0
+        # opts out (fused tier without device emit fields).
         import os as _os
 
-        _em = _os.environ.get("BS_CALL_EMIT_TIER", "")
-        self._emit_tier = _em == "1" or (
-            _em != "0" and cfg.device == "tpu"
-        )
+        self._emit_tier = _os.environ.get("BS_CALL_EMIT_TIER", "") != "0"
         self._emit_fns = {}  # (n_pos, r_pad, l_cap) -> sharded emit fn
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
