@@ -7,9 +7,12 @@
 // lookup tables are passed in from Python so the two paths share one
 // source of truth.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -33,32 +36,177 @@ inline char *put_int(char *p, long long v) {
     return p;
 }
 
+// ---- fast "%g" (default precision 6) ----
+//
+// printf("%g") is the single hottest call in row formatting (up to 5 GL
+// values per row). This writer produces byte-identical output to glibc's
+// "%g" for every finite double: scale to 6 significant digits with
+// 80-bit long-double arithmetic (relative error ~2e-19, i.e. ~2e-13
+// absolute on the 6-digit integer), round, and fall back to snprintf
+// whenever the rounding fraction lands inside a 1e-9 guard band around
+// a decimal tie — exactly the cases where the cheap path could disagree
+// with glibc's correctly-rounded conversion.
+
+// long-double powers of ten: PW10[k] = 10^(k - 80), k in [0, 160]
+struct Pw10 {
+    long double v[161];
+    Pw10() {
+        for (int k = 0; k <= 160; k++) v[k] = powl(10.0L, k - 80);
+    }
+};
+const Pw10 PW10;
+
+inline char *g6_fallback(char *p, double x) {
+    return p + snprintf(p, 32, "%g", x);
+}
+
+inline char *put_g6(char *p, double x) {
+    if (!std::isfinite(x)) return g6_fallback(p, x);
+    if (x == 0.0) {
+        if (std::signbit(x)) *p++ = '-';
+        *p++ = '0';
+        return p;
+    }
+    char *const p0 = p;  // fallback rewrites the whole value, sign incl.
+    double a = x;
+    if (x < 0) {
+        *p++ = '-';
+        a = -x;
+    }
+    // decimal exponent estimate, corrected by the scaling loop below
+    int e = (int)floor(log10(a));
+    uint64_t d;
+    for (int iter = 0;; iter++) {
+        int idx = 5 - e + 80;
+        if (idx < 0 || idx > 160 || iter > 4) return g6_fallback(p0, x);
+        const long double D = (long double)a * PW10.v[idx];
+        if (D >= 1e6L) {
+            e++;
+            continue;
+        }
+        if (D < 1e5L) {
+            e--;
+            continue;
+        }
+        d = (uint64_t)D;
+        const long double frac = D - (long double)d;
+        long double tie = frac - 0.5L;
+        if (tie < 0) tie = -tie;
+        if (tie < 1e-9L) return g6_fallback(p0, x);
+        if (frac > 0.5L) d++;
+        if (d == 1000000) {  // rounding carried into a new decade
+            d = 100000;
+            e++;
+        }
+        break;
+    }
+    char dig[6];
+    for (int k = 5; k >= 0; k--) {
+        dig[k] = (char)('0' + d % 10);
+        d /= 10;
+    }
+    int last = 5;  // trim trailing zeros of the significand
+    while (last > 0 && dig[last] == '0') last--;
+    if (e >= -4 && e < 6) {  // f-style
+        if (e >= 0) {
+            int i = 0;
+            for (; i <= e; i++) *p++ = i <= last ? dig[i] : '0';
+            if (last > e) {
+                *p++ = '.';
+                for (; i <= last; i++) *p++ = dig[i];
+            }
+        } else {
+            *p++ = '0';
+            *p++ = '.';
+            for (int z = 0; z < -e - 1; z++) *p++ = '0';
+            for (int i = 0; i <= last; i++) *p++ = dig[i];
+        }
+    } else {  // e-style
+        *p++ = dig[0];
+        if (last > 0) {
+            *p++ = '.';
+            for (int i = 1; i <= last; i++) *p++ = dig[i];
+        }
+        *p++ = 'e';
+        int ae = e;
+        if (e < 0) {
+            *p++ = '-';
+            ae = -e;
+        } else {
+            *p++ = '+';
+        }
+        if (ae < 10) {
+            *p++ = '0';
+            *p++ = (char)('0' + ae);
+        } else {
+            p = put_int(p, ae);
+        }
+    }
+    return p;
+}
+
 }  // namespace
 
 extern "C" {
+// exposed for the byte-parity test (tests/test_format_g6.py)
+int64_t bsc_format_g6(double x, char *out) {
+    return put_g6(out, x) - out;
+}
+}
 
-// Returns bytes written, or -1 if out_cap is insufficient.
-// LUT blobs: fixed-stride char arrays, NUL-terminated entries.
-int64_t bsc_format_rows(
-    int64_t n, const char *ctg_name,
-    const int64_t *pos, const int32_t *g, const int32_t *r,
-    const int64_t *flt, const uint8_t *mac1, const int64_t *phred,
-    const int64_t *dp1, const int32_t *mq, const int64_t *qd,
-    const int64_t *fs_int, const uint8_t *het,
-    const float *gl_vals, const int32_t *gl_len,
-    const int32_t *counts, const int32_t *quals,
-    const uint8_t *is_cg, const int64_t *cg_code,
-    const char *prf, const char *ctx,
-    const int64_t *rs_off, const char *rs_blob,
-    const char *gt_lut, int gt_stride,
-    const char *alt_lut, int alt_stride,
-    const char *cs_lut, int cs_stride,
-    const char *ft_lut, int ft_stride, const int32_t *ft_len,
-    const char *pbase,
-    char *out, int64_t out_cap) {
+namespace {
+
+// every array the row writer touches, bundled so the same loop serves
+// the single-threaded and the range-parallel paths
+struct RowArgs {
+    const char *ctg_name;
+    const int64_t *pos;
+    const int32_t *g, *r;
+    const int64_t *flt;
+    const uint8_t *mac1;
+    const int64_t *phred, *dp1;
+    const int32_t *mq;
+    const int64_t *qd, *fs_int;
+    const uint8_t *het;
+    const float *gl_vals;
+    const int32_t *gl_len, *counts, *quals;
+    const uint8_t *is_cg;
+    const int64_t *cg_code;
+    const char *prf, *ctx;
+    const int64_t *rs_off;
+    const char *rs_blob;
+    const char *gt_lut;
+    int gt_stride;
+    const char *alt_lut;
+    int alt_stride;
+    const char *cs_lut;
+    int cs_stride;
+    const char *ft_lut;
+    int ft_stride;
+    const int32_t *ft_len;
+    const char *pbase;
+};
+
+// Returns bytes written, or -1 if the buffer is insufficient.
+int64_t format_range(const RowArgs &a, int64_t lo, int64_t hi,
+                     char *out, int64_t out_cap) {
+    const char *ctg_name = a.ctg_name;
+    const int64_t *pos = a.pos, *flt = a.flt, *phred = a.phred,
+                  *dp1 = a.dp1, *qd = a.qd, *fs_int = a.fs_int,
+                  *cg_code = a.cg_code, *rs_off = a.rs_off;
+    const int32_t *g = a.g, *r = a.r, *mq = a.mq, *gl_len = a.gl_len,
+                  *counts = a.counts, *quals = a.quals,
+                  *ft_len = a.ft_len;
+    const uint8_t *mac1 = a.mac1, *het = a.het, *is_cg = a.is_cg;
+    const float *gl_vals = a.gl_vals;
+    const char *prf = a.prf, *ctx = a.ctx, *rs_blob = a.rs_blob,
+               *gt_lut = a.gt_lut, *alt_lut = a.alt_lut,
+               *cs_lut = a.cs_lut, *ft_lut = a.ft_lut, *pbase = a.pbase;
+    const int gt_stride = a.gt_stride, alt_stride = a.alt_stride,
+              cs_stride = a.cs_stride, ft_stride = a.ft_stride;
     char *p = out;
     char *end = out + out_cap - 512;  // per-row safety margin
-    for (int64_t i = 0; i < n; i++) {
+    for (int64_t i = lo; i < hi; i++) {
         if (p >= end) return -1;
         int gi = g[i];
         int ri = r[i];
@@ -116,7 +264,7 @@ int64_t bsc_format_rows(
         *p++ = ':';
         for (int k = 0; k < gl_len[i]; k++) {
             if (k) *p++ = ',';
-            p += sprintf(p, "%g", (double)gl_vals[i * 5 + k]);
+            p = put_g6(p, (double)gl_vals[i * 5 + k]);
         }
         *p++ = ':';
         for (int k = 0; k < 8; k++) {
@@ -147,6 +295,75 @@ int64_t bsc_format_rows(
         *p++ = '\n';
     }
     return p - out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Text VCF rows [0, n) into out. Row ranges are formatted on n_threads
+// std::threads into per-thread scratch, then stitched in order — output
+// bytes are identical for any thread count. Returns bytes written, or
+// -1 if out_cap is insufficient.
+// LUT blobs: fixed-stride char arrays, NUL-terminated entries.
+int64_t bsc_format_rows(
+    int64_t n, const char *ctg_name,
+    const int64_t *pos, const int32_t *g, const int32_t *r,
+    const int64_t *flt, const uint8_t *mac1, const int64_t *phred,
+    const int64_t *dp1, const int32_t *mq, const int64_t *qd,
+    const int64_t *fs_int, const uint8_t *het,
+    const float *gl_vals, const int32_t *gl_len,
+    const int32_t *counts, const int32_t *quals,
+    const uint8_t *is_cg, const int64_t *cg_code,
+    const char *prf, const char *ctx,
+    const int64_t *rs_off, const char *rs_blob,
+    const char *gt_lut, int gt_stride,
+    const char *alt_lut, int alt_stride,
+    const char *cs_lut, int cs_stride,
+    const char *ft_lut, int ft_stride, const int32_t *ft_len,
+    const char *pbase,
+    char *out, int64_t out_cap, int32_t n_threads) {
+    RowArgs a{ctg_name, pos,    g,        r,        flt,      mac1,
+              phred,    dp1,    mq,       qd,       fs_int,   het,
+              gl_vals,  gl_len, counts,   quals,    is_cg,    cg_code,
+              prf,      ctx,    rs_off,   rs_blob,  gt_lut,   gt_stride,
+              alt_lut,  alt_stride, cs_lut, cs_stride, ft_lut,
+              ft_stride, ft_len, pbase};
+    int nt = n_threads < 1 ? 1 : n_threads;
+    if ((int64_t)nt * 4096 > n) nt = (int)(n / 4096) + 1;
+    if (nt <= 1) return format_range(a, 0, n, out, out_cap);
+    const int64_t step = (n + nt - 1) / nt;
+    std::vector<std::vector<char>> bufs(nt);
+    std::vector<int64_t> lens(nt, 0);
+    std::vector<std::thread> ts;
+    for (int w = 0; w < nt; w++) {
+        const int64_t lo = w * step;
+        const int64_t hi = lo + step < n ? lo + step : n;
+        if (lo >= hi) break;
+        ts.emplace_back([&, w, lo, hi]() {
+            // 192 B/row typical; grow by retry if a range overflows
+            int64_t cap = (hi - lo) * 224 + 1024;
+            for (;;) {
+                bufs[w].resize(cap);
+                int64_t r2 = format_range(a, lo, hi, bufs[w].data(), cap);
+                if (r2 >= 0) {
+                    lens[w] = r2;
+                    return;
+                }
+                cap *= 2;
+            }
+        });
+    }
+    for (auto &t : ts) t.join();
+    int64_t total = 0;
+    for (int w = 0; w < nt; w++) total += lens[w];
+    if (total > out_cap) return -1;
+    char *p = out;
+    for (int w = 0; w < nt; w++) {
+        memcpy(p, bufs[w].data(), (size_t)lens[w]);
+        p += lens[w];
+    }
+    return total;
 }
 
 }  // extern "C"

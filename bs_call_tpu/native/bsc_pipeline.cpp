@@ -504,6 +504,7 @@ struct Pipeline {
     Config cfg;
     Stats stats;
     bool collect_stats = false;
+    int n_threads = 1;  // worker budget for stage-time parallel loops
     std::vector<int8_t> tid_keep;
 
     // block builder state
@@ -1270,6 +1271,44 @@ struct Pipeline {
         al->processed = true;
     }
 
+    // process_align over a batch, split across n_threads workers. Each
+    // align is independent; stats counters accumulate into per-thread
+    // partials merged afterwards (integer sums — order-free), so the
+    // result is identical to the sequential loop for any thread count.
+    void process_aligns_mt(std::vector<Align *> &todo, Stats *st) {
+        const size_t n = todo.size();
+        int nt = n_threads < 1 ? 1 : n_threads;
+        if ((size_t)nt * 512 > n) nt = (int)(n / 512) + 1;
+        if (nt <= 1) {
+            for (Align *al : todo) process_align(al, st);
+            return;
+        }
+        std::vector<Stats> parts(st ? nt : 0);
+        std::vector<std::thread> ts;
+        const size_t step = (n + nt - 1) / nt;
+        for (int w = 0; w < nt; w++) {
+            const size_t lo = w * step;
+            const size_t hi = lo + step < n ? lo + step : n;
+            if (lo >= hi) break;
+            Stats *pst = st ? &parts[w] : nullptr;
+            ts.emplace_back([this, &todo, lo, hi, pst]() {
+                for (size_t i = lo; i < hi; i++)
+                    process_align(todo[i], pst);
+            });
+        }
+        for (auto &t : ts) t.join();
+        if (st) {
+            for (const Stats &ps : parts) {
+                for (int i = 0; i < 15; i++) {
+                    st->filter_cts[i] += ps.filter_cts[i];
+                    st->filter_bases[i] += ps.filter_bases[i];
+                }
+                for (int i = 0; i < 5; i++)
+                    st->base_filter[i] += ps.base_filter[i];
+            }
+        }
+    }
+
     // update this stage's meth-profile bookkeeping for one align about
     // to be profiled: row bound + leftmost ref position its FSM reads
     void meth_account(Align *al) {
@@ -1293,13 +1332,14 @@ struct Pipeline {
         blk_max_pos = 0;
         blk_meth_x = blk_x;
         blk_n_templates = 0;
-        for (Align *al : blk_list) {
-            if (!al->processed) {
-                process_align(al, st);
-                blk_n_templates++;
-            }
+        std::vector<Align *> todo;
+        todo.reserve(blk_list.size());
+        for (Align *al : blk_list)
+            if (!al->processed) todo.push_back(al);
+        blk_n_templates = (int64_t)todo.size();
+        process_aligns_mt(todo, st);
+        for (Align *al : blk_list)
             if (!al->meth_done) meth_account(al);
-        }
         return true;
     }
 
@@ -1317,18 +1357,22 @@ struct Pipeline {
         blk_max_pos = 0;
         blk_meth_x = blk_x;
         blk_n_templates = 0;
+        std::vector<Align *> todo;
+        todo.reserve(align_list.size());
         for (size_t i = 0; i < align_list.size(); i++) {
             Align *al = align_list[i];
             if (!al->processed && al_hash_list[i] == nullptr &&
-                (uint32_t)al->start_min() < stp_now) {
+                (uint32_t)al->start_min() < stp_now)
                 // resolved and below every record still to come: no
                 // future record can dup-replace it (replacement needs
                 // pos == align start, and future pos >= stp_now), so
                 // its raw-byte dup comparisons are over and trimming/
                 // normalization is final
-                process_align(al, st);
-                blk_n_templates++;
-            }
+                todo.push_back(al);
+        }
+        blk_n_templates = (int64_t)todo.size();
+        process_aligns_mt(todo, st);
+        for (Align *al : align_list) {
             if (al->processed && !al->meth_done &&
                 al->end_pos <= (int64_t)blk_y)
                 meth_account(al);
@@ -1390,12 +1434,15 @@ struct Pipeline {
     }
 
     // --- pileup (ops/pileup.py <- call_genotypes.c:180-226) ---
+    //
+    // Threaded by POSITION range: each worker walks every align but
+    // contributes only bases inside its own [plo, phi] columns, so the
+    // per-position accumulation order (and therefore every float32
+    // qual_sum rounding) is identical to the sequential loop for any
+    // thread count.
 
-    void pileup(int32_t *counts2, float *qual_sum, float *mapq2) const {
-        int64_t sz = (int64_t)blk_y - blk_x + 1;
-        memset(counts2, 0, sizeof(int32_t) * sz * 16);
-        memset(qual_sum, 0, sizeof(float) * sz * 8);
-        memset(mapq2, 0, sizeof(float) * sz);
+    void pileup_range(int32_t *counts2, float *qual_sum, float *mapq2,
+                      int64_t plo, int64_t phi) const {
         static const int8_t base_tab_st[3][4] = {
             {0, 1, 2, 3}, {0, 5, 2, 7}, {4, 1, 6, 3}};
         const std::vector<Align *> &src =
@@ -1411,6 +1458,8 @@ struct Pipeline {
                 if (!al->has_read[k] || al->read[k].empty()) continue;
                 const auto &rd = al->read[k];
                 int64_t rl = rd.size();
+                int64_t rstart = (k ? al->rev_pos : al->fwd_pos);
+                if (rstart > phi || rstart + rl <= plo) continue;
                 int64_t rs = -1, re = -1;
                 for (int64_t j = 0; j < rl; j++) {
                     int q = rd[j] >> 2;
@@ -1421,14 +1470,13 @@ struct Pipeline {
                     int q = rd[j - 1] >> 2;
                     if (q > 0 && q != FLT_QUAL) { re = j - 1; break; }
                 }
-                int64_t rstart = (k ? al->rev_pos : al->fwd_pos);
                 // clip below the range (prior partial ranges own those
-                // columns)
-                if (rstart + rs < (int64_t)blk_x) rs = (int64_t)blk_x - rstart;
+                // columns; [plo, phi] is this worker's column span)
+                if (rstart + rs < plo) rs = plo - rstart;
                 if (rs > re) continue;
                 int64_t pos = rstart + rs;
                 float mq2 = (float)(al->mapq[k] * al->mapq[k]);
-                for (int64_t j = rs; j <= re && pos <= (int64_t)blk_y;
+                for (int64_t j = rs; j <= re && pos <= phi;
                      j++, pos++) {
                     int q = rd[j] >> 2;
                     if (q >= cfg.min_qual && q != FLT_QUAL) {
@@ -1441,6 +1489,31 @@ struct Pipeline {
                 }
             }
         }
+    }
+
+    void pileup(int32_t *counts2, float *qual_sum, float *mapq2,
+                int nthreads = 1) const {
+        int64_t sz = (int64_t)blk_y - blk_x + 1;
+        memset(counts2, 0, sizeof(int32_t) * sz * 16);
+        memset(qual_sum, 0, sizeof(float) * sz * 8);
+        memset(mapq2, 0, sizeof(float) * sz);
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if ((int64_t)nt * 16384 > sz) nt = (int)(sz / 16384) + 1;
+        if (nt <= 1) {
+            pileup_range(counts2, qual_sum, mapq2, blk_x, blk_y);
+            return;
+        }
+        const int64_t step = (sz + nt - 1) / nt;
+        std::vector<std::thread> ts;
+        for (int w = 0; w < nt; w++) {
+            int64_t plo = (int64_t)blk_x + w * step;
+            int64_t phi = plo + step - 1;
+            if (phi > (int64_t)blk_y) phi = blk_y;
+            if (plo > phi) break;
+            ts.emplace_back(&Pipeline::pileup_range, this, counts2,
+                            qual_sum, mapq2, plo, phi);
+        }
+        for (auto &t : ts) t.join();
     }
 
     // --- normalized read-batch export (fused device pileup+call) ---
@@ -1496,9 +1569,35 @@ struct Pipeline {
     // per-position aggregation (call_genotypes.c:45-59 float32 semantics)
     void aggregate(const int32_t *counts2, const float *qual_sum,
                    const float *mapq2, int32_t *counts8, int32_t *quals8,
-                   int32_t *mq, int32_t *aq, int32_t *ntot) const {
+                   int32_t *mq, int32_t *aq, int32_t *ntot,
+                   int nthreads = 1) const {
         int64_t sz = (int64_t)blk_y - blk_x + 1;
-        for (int64_t i = 0; i < sz; i++) {
+        int nt = nthreads < 1 ? 1 : nthreads;
+        if ((int64_t)nt * 32768 > sz) nt = (int)(sz / 32768) + 1;
+        if (nt > 1) {  // row-parallel: each position is independent
+            const int64_t step = (sz + nt - 1) / nt;
+            std::vector<std::thread> ts;
+            for (int w = 0; w < nt; w++) {
+                int64_t lo = w * step;
+                int64_t hi = lo + step < sz ? lo + step : sz;
+                if (lo >= hi) break;
+                ts.emplace_back([=]() {
+                    aggregate_range(counts2, qual_sum, mapq2, counts8,
+                                    quals8, mq, aq, ntot, lo, hi);
+                });
+            }
+            for (auto &t : ts) t.join();
+            return;
+        }
+        aggregate_range(counts2, qual_sum, mapq2, counts8, quals8, mq,
+                        aq, ntot, 0, sz);
+    }
+
+    void aggregate_range(const int32_t *counts2, const float *qual_sum,
+                         const float *mapq2, int32_t *counts8,
+                         int32_t *quals8, int32_t *mq, int32_t *aq,
+                         int32_t *ntot, int64_t lo, int64_t sz) const {
+        for (int64_t i = lo; i < sz; i++) {
             int64_t n = 0;
             float tot_qual = 0.0f;
             for (int j = 0; j < 8; j++) {
@@ -1611,6 +1710,7 @@ void *bsp_open(const char *path, int nthreads, int mapq_thresh,
     if (!r) return nullptr;
     Pipeline *p = new Pipeline();
     p->r = r;
+    p->n_threads = nthreads;
     p->cfg.mapq_thresh = mapq_thresh;
     p->cfg.max_template_len = max_template_len;
     p->cfg.min_qual = min_qual;
@@ -1629,6 +1729,12 @@ void *bsp_open(const char *path, int nthreads, int mapq_thresh,
 }
 
 void bsp_close(void *h) { delete (Pipeline *)h; }
+
+// stage-time parallel worker budget (push pipelines have no reader
+// thread count to inherit)
+void bsp_set_threads(void *h, int32_t n) {
+    ((Pipeline *)h)->n_threads = n < 1 ? 1 : n;
+}
 
 int bsp_n_refs(void *h) {
     return (int)((Pipeline *)h)->r->ref_names.size();
@@ -1771,8 +1877,8 @@ void bsp_set_sam_mode(void *h, const char *names, int64_t len) {
 void bsp_push_eof(void *h) { ((Pipeline *)h)->push_done = true; }
 
 void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
-                      float *mapq2) {
-    ((Pipeline *)h)->pileup(counts2, qual_sum, mapq2);
+                      float *mapq2, int32_t nthreads) {
+    ((Pipeline *)h)->pileup(counts2, qual_sum, mapq2, nthreads);
 }
 
 void bsp_block_reads_size(void *h, int64_t *n_reads, int64_t *max_len) {
@@ -1793,9 +1899,9 @@ void bsp_block_meth_profile(void *h, const uint8_t *ref, int64_t ref_len,
 void bsp_block_aggregate(void *h, const int32_t *counts2,
                          const float *qual_sum, const float *mapq2,
                          int32_t *counts8, int32_t *quals8, int32_t *mq,
-                         int32_t *aq, int32_t *ntot) {
+                         int32_t *aq, int32_t *ntot, int32_t nthreads) {
     ((Pipeline *)h)->aggregate(counts2, qual_sum, mapq2, counts8, quals8,
-                               mq, aq, ntot);
+                               mq, aq, ntot, nthreads);
 }
 
 void bsp_get_stats(void *h, int64_t *filter_cts, int64_t *filter_bases,

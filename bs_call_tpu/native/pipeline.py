@@ -105,11 +105,15 @@ class NativePipeline:
         counts2 = np.empty((sz, 2, 8), np.int32)
         qual_sum = np.empty((sz, 8), np.float32)
         mapq2 = np.empty(sz, np.float32)
+        from bs_call_tpu.ops.genotype_native import _n_threads
+
+        nthr = ctypes.c_int32(_n_threads())
         self._lib.bsp_block_pileup(
             ctypes.c_void_p(self._h),
             counts2.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             qual_sum.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             mapq2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            nthr,
         )
         # aggregated per-position stats (call_thread semantics) computed
         # natively so Python skips aggregate_pileup
@@ -129,6 +133,7 @@ class NativePipeline:
             i32p(mq),
             i32p(aq),
             i32p(ntot),
+            nthr,
         )
         return {
             "tid": tid,
@@ -261,6 +266,9 @@ class NativePushPipeline(NativePipeline):
         )
         if not self._h:
             raise RuntimeError("bsp_open_push failed")
+        lib.bsp_set_threads(
+            ctypes.c_void_p(self._h), ctypes.c_int32(max(1, threads))
+        )
         if header.ref_lens:
             lens = np.asarray(header.ref_lens, dtype=np.int64)
             lib.bsp_set_ref_lens(

@@ -392,6 +392,8 @@ def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
     q_a = i32(q8)
     cg_a = u8(cond_cg)
     cgc = i64(cg_code)
+    from bs_call_tpu.ops.genotype_native import _n_threads
+
     written = lib.bsc_format_rows(
         ctypes.c_int64(n),
         ctg.name.encode(),
@@ -402,7 +404,7 @@ def _native_format(fileobj, ctg, n, g, r, flt, mac1, prf_all, ctx_all,
         rs_off.ctypes.data_as(ctypes.c_void_p), rs_blob,
         _GT_LUT, 8, _ALT_LUT, 8, _CS_LUT, 4, _FT_LUT, 24,
         _FT_LEN.ctypes.data_as(ctypes.c_void_p), _PBASE_B5,
-        P(out), ctypes.c_int64(cap),
+        P(out), ctypes.c_int64(cap), ctypes.c_int32(_n_threads()),
     )
     if written < 0:
         return False
