@@ -34,10 +34,16 @@ def run_caller(cfg: CallerConfig, out_fileobj=None, stats=None, dbsnp=None,
     # -t calc,input,output shares (parse_args.c:194-213): the inflate
     # pool takes the input share, the deflate pool the output share; a
     # 0/None share falls back to the calc count (our pools still need a
-    # worker where the reference would decompress inline)
-    in_threads = cfg.input_threads or cfg.threads
-    out_threads = (
-        cfg.output_threads if cfg.output_threads else cfg.threads
+    # worker where the reference would decompress inline). Every share
+    # is clamped to this process's CPU affinity: shard workers pinned to
+    # a core subset otherwise spawn machine-sized pools that thrash
+    # their one core instead of parallelizing.
+    from bs_call_tpu.ops.genotype_native import _n_threads
+
+    aff = _n_threads()
+    in_threads = min(cfg.input_threads or cfg.threads, aff)
+    out_threads = min(
+        cfg.output_threads if cfg.output_threads else cfg.threads, aff
     )
     reader = open_alignment_file(
         cfg.input_file, threads=in_threads, reference=cfg.reference_file
@@ -273,7 +279,9 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
     except (OSError, RuntimeError, ImportError):
         return None
     tid_keep = _tid_keep(table)
-    in_threads = cfg.input_threads or cfg.threads
+    from bs_call_tpu.ops.genotype_native import _n_threads
+
+    in_threads = min(cfg.input_threads or cfg.threads, _n_threads())
     if cfg.input_file == "-":
         # stdin: forward the already-positioned stream (past the header)
         # to the native parser — BAM bytes verbatim, SAM text via the
