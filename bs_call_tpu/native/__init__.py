@@ -18,6 +18,7 @@ _SRCS = [
     os.path.join(_DIR, "bsc_cram.cpp"),
     os.path.join(_DIR, "bsc_emit.cpp"),
     os.path.join(_DIR, "bsc_model.cpp"),
+    os.path.join(_DIR, "bsc_rowengine.cpp"),
 ]
 _HDR = os.path.join(_DIR, "bsc_common.h")
 _SO = os.path.join(_DIR, "libbsc_ingest.so")
@@ -178,6 +179,40 @@ def load():
         ] * 25
         lib.bsc_format_rows.restype = ctypes.c_int64
         lib.bsc_format_bcf.restype = ctypes.c_int64
+        # row engine (bsc_rowengine.cpp): whole-block host fast path
+        lib.bsre_new.restype = ctypes.c_void_p
+        lib.bsre_new.argtypes = (
+            [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+             ctypes.c_int, ctypes.c_int]
+            + [ctypes.c_void_p] * 16
+            + [ctypes.c_int]
+        )
+        lib.bsre_free.argtypes = [ctypes.c_void_p]
+        lib.bsre_set_stats.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.bsre_set_stats.restype = None
+        lib.bsre_load.restype = None
+        lib.bsre_load.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.bsre_model.restype = ctypes.c_int64
+        lib.bsre_model.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.bsre_ties.restype = None
+        lib.bsre_ties.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, i64p, i32p, i32p, i32p,
+        ]
+        lib.bsre_fix.restype = None
+        lib.bsre_fix.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64, i64p,
+            f64p, i32p,
+        ]
+        lib.bsre_emit.restype = ctypes.c_int64
+        lib.bsre_emit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, u8p, ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.bsc_bgzf_deflate_batch.restype = ctypes.c_int64
         lib.bsc_rans_decode_o0.restype = ctypes.c_int64
         lib.bsc_rans_decode_o1.restype = ctypes.c_int64

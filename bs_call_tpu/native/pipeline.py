@@ -73,6 +73,15 @@ class NativePipeline:
         self._meta = np.zeros(7, np.int64)
 
     def next_block(self) -> Optional[dict]:
+        if self.next_block_meta() is None:
+            return None
+        return self._collect_block()
+
+    def next_block_meta(self) -> Optional[dict]:
+        """Advance to the next staged block and return its metadata
+        WITHOUT exporting the pileup tensors — the row-engine path
+        (native/rowengine.py) consumes the staged block natively; the
+        regular path follows up with _collect_block()."""
         ok = self._lib.bsp_next_block(
             ctypes.c_void_p(self._h),
             self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -84,7 +93,18 @@ class NativePipeline:
             )
         if ok != 1:
             return None
-        return self._collect_block()
+        (tid, x, y, max_pos, n_templates, partial, meth_x) = (
+            int(v) for v in self._meta
+        )
+        return {
+            "tid": tid,
+            "x": x,
+            "y": y,
+            "max_pos": max_pos,
+            "n_templates": n_templates,
+            "partial": bool(partial),
+            "meth_x": meth_x,
+        }
 
     def set_partial(self, limit: int):
         """Enable settled-prefix partial staging: open blocks hand over
@@ -296,13 +316,29 @@ class NativePushPipeline(NativePipeline):
         return True
 
     def next_block(self) -> Optional[dict]:
+        if self.next_block_meta() is None:
+            return None
+        return self._collect_block()
+
+    def next_block_meta(self) -> Optional[dict]:
         while True:
             rc = self._lib.bsp_next_block(
                 ctypes.c_void_p(self._h),
                 self._meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
             if rc == 1:
-                return self._collect_block()
+                (tid, x, y, max_pos, n_templates, partial, meth_x) = (
+                    int(v) for v in self._meta
+                )
+                return {
+                    "tid": tid,
+                    "x": x,
+                    "y": y,
+                    "max_pos": max_pos,
+                    "n_templates": n_templates,
+                    "partial": bool(partial),
+                    "meth_x": meth_x,
+                }
             if rc == -1:
                 raise ValueError(
                     "corrupt or unsorted alignment stream (input must "

@@ -407,6 +407,44 @@ def process_contig_blocks_native(
         and hasattr(npipe, "set_partial")
     ):
         npipe.set_partial(2 * max(cfg.batch_positions, 1024))
+    # Host row engine (native/rowengine.py): when the run is host-bound
+    # (exact mode, no accelerator in play) and the output is text VCF
+    # without dbSNP, the whole per-block path after ingest — pileup,
+    # aggregate, f64 model, Fisher, emit prep, report stats, row
+    # formatting — runs as three native calls per block, with Python
+    # resolving only likelihood ties through the scalar oracle. Blocks
+    # the engine can't take (sz < 9) fall through to the regular path;
+    # output bytes are identical either way (tests/test_rowengine.py).
+    import os as _os
+
+    rowe = None
+    ve = getattr(emitter, "vector", None)
+    if (
+        _os.environ.get("BS_CALL_ROW_ENGINE", "1") != "0"
+        and ve is not None
+        and ve._bcf is None
+        and getattr(emitter, "dbsnp", None) is None
+        and cfg.exact
+        and not engine.wants_reads()
+        and not engine._prefer_xla_f64()
+    ):
+        try:
+            acc = None
+            if stats is not None:
+                from bs_call_tpu.stats.native_acc import NativeStatsAcc
+
+                acc = NativeStatsAcc.create()
+                if acc is None:  # BS_CALL_PY_STATS or no native lib
+                    raise RuntimeError("native stats acc unavailable")
+            from bs_call_tpu.native.rowengine import HostRowEngine
+
+            rowe = HostRowEngine(cfg, stats_acc=acc)
+            if acc is not None:
+                ve._nacc = acc
+                ve._nacc_tried = True
+            tracer.progress("using native row engine")
+        except Exception:
+            rowe = None
     # background ingest: the C++ pipeline releases the GIL, so block
     # production overlaps with calling + emission (the reference's
     # reader-thread / process-thread split, process.c:43-72). Contig
@@ -428,11 +466,27 @@ def process_contig_blocks_native(
                 continue
         return False
 
+    free_slots: "queue.Queue" = queue.Queue()
+    if rowe is not None:
+        for _s in range(rowe.N_SLOTS):
+            free_slots.put(_s)
+
+    def _get_slot():
+        while not stop.is_set():
+            try:
+                return free_slots.get(timeout=0.1)
+            except queue.Empty:
+                continue
+        return None
+
     def produce():
         pseq = None
         try:
             while True:
-                b = npipe.next_block()
+                if hasattr(npipe, "next_block_meta"):
+                    b = npipe.next_block_meta()
+                else:
+                    b = npipe.next_block()
                 if b is None:
                     _put(None)
                     return
@@ -441,12 +495,31 @@ def process_contig_blocks_native(
                     pseq = fasta.load_contig(
                         cname, calc_gc=stats is not None
                     )
+                collected = "counts2" in b
+                sz = b["y"] - b["x"] + 1
+                use_row = (
+                    rowe is not None
+                    and not collected
+                    and sz >= 9
+                    and not engine.wants_reads()
+                )
+                if use_row:
+                    slot = _get_slot()
+                    if slot is None:
+                        return
+                    refw = sequence_window(pseq, b["x"], sz + 2)
+                    with tracer.stage("ingest_load"):
+                        rowe.load(slot, npipe, b["x"], b["y"], refw)
+                    b["kind"] = "row"
+                    b["slot"] = slot
+                elif not collected:
+                    b = npipe._collect_block()
                 b["seq"] = pseq
                 # fused device tier: export the staged block's read
                 # batch (valid only until the next next_block call, so
                 # it must be copied out here). wants_reads() flips off
                 # if the auto race later picks a column engine.
-                if engine.wants_reads():
+                if engine.wants_reads() and b.get("kind") != "row":
                     b["reads"] = npipe.block_reads()
                 if stats is not None:
                     with tracer.stage("meth_prof"):
@@ -476,11 +549,25 @@ def process_contig_blocks_native(
             item = emit_q.get()
             if item is None:
                 return
+            if item[0] == "row":
+                _, slot, ctg_r, partial_r = item
+                if not emit_err:
+                    try:
+                        with tracer.stage("emit"):
+                            rowe.emit(
+                                slot, emitter, ctg_r,
+                                2 if partial_r else 0,
+                                stats is not None, ve._f,
+                            )
+                    except Exception as e:
+                        emit_err.append(e)
+                free_slots.put(slot)
+                continue
             if emit_err:
                 continue  # drain so the producer can't block
             try:
                 with tracer.stage("emit"):
-                    _emit_block_soa(cfg, emitter, *item)
+                    _emit_block_soa(cfg, emitter, *item[1])
             except Exception as e:
                 emit_err.append(e)
 
@@ -506,6 +593,15 @@ def process_contig_blocks_native(
             tracer.count("blocks")
             tracer.count("templates", blk["n_templates"])
             tracer.count("positions", sz)
+            if blk.get("kind") == "row":
+                with tracer.stage("call"):
+                    rowe.model(blk["slot"])
+                if emit_err:
+                    raise emit_err[0]
+                emit_q.put(
+                    ("row", blk["slot"], ctg, blk.get("partial", False))
+                )
+                continue
             ref_window = sequence_window(contig_seq, x, sz + 2)
             # stream big blocks through the emit worker in chunks so the
             # engine batch for chunk j+1 overlaps the formatting of chunk
@@ -546,9 +642,10 @@ def process_contig_blocks_native(
                     )
                 if emit_err:
                     raise emit_err[0]
-                emit_q.put(
-                    (ctg, soa, ref_window[s - x : e - x + 3], s, e, hold)
-                )
+                emit_q.put((
+                    "py",
+                    (ctg, soa, ref_window[s - x : e - x + 3], s, e, hold),
+                ))
                 if e == y:
                     break
                 s = e - 3
@@ -575,6 +672,8 @@ def process_contig_blocks_native(
             t.join(0.05)
         et.join(timeout=10)  # emitter writes to caller-owned fileobj
         npipe.close()
+        if rowe is not None:
+            rowe.close()
 
 
 def _indexed_region_records(cfg, table):
