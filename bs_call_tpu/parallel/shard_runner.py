@@ -283,13 +283,55 @@ def _text_contig_segments(path, contig_order, order):
             else:
                 nl = mm.find(b"\n", hdr_tail + 1)
                 header_end = size if nl < 0 else nl + 1
+            if header_end == size:
+                return header_end, []
+
+            # Contig runs are located by BINARY SEARCH on line-start
+            # contig names (records of one contig are contiguous and
+            # runs are emitted in file order), so a shard of any size
+            # costs O(k log n) page touches instead of one memchr scan
+            # per contig-universe entry over the whole file.
+            hb = max(header_end - 1, 0)
+
+            def name_at(off):
+                s = mm.rfind(b"\n", hb, off) + 1
+                if s < header_end:
+                    s = header_end
+                e = mm.find(b"\t", s)
+                return mm[s:e] if e >= 0 else mm[s:size].rstrip(b"\n")
+
             found = []
-            for name in contig_order:
-                pat = b"\n" + name.encode() + b"\t"
-                off = mm.find(pat, max(header_end - 1, 0))
-                if off >= 0:
-                    found.append((order[name], off + 1))
-            found.sort(key=lambda t: t[1])
+            first = name_at(header_end)
+            last = name_at(size - 2 if size >= 2 else header_end)
+            pos = header_end
+            cur = first
+            while True:
+                nm = cur.decode("utf-8", "replace")
+                if nm not in order:
+                    return None  # foreign contig: generic merge
+                found.append((order[nm], pos))
+                if cur == last:
+                    break
+                # next run begins at the first line that differs from
+                # every name seen so far; bisect for the next distinct
+                # name within (pos, size)
+                lo, hi = pos, size
+                nxt = None
+                while lo < hi:
+                    mid = (lo + hi) // 2
+                    s = mm.rfind(b"\n", hb, mid + 1) + 1
+                    if s < header_end:
+                        s = header_end
+                    if name_at(s) == cur:
+                        nl = mm.find(b"\n", mid)
+                        lo = size if nl < 0 else nl + 1
+                    else:
+                        nxt = s
+                        hi = s
+                if nxt is None:
+                    break
+                pos = nxt
+                cur = name_at(nxt)
             ranks = [r for r, _ in found]
             if ranks != sorted(ranks) or len(set(ranks)) != len(ranks):
                 return None  # out-of-order runs: generic merge

@@ -400,10 +400,15 @@ def process_contig_blocks_native(
     tracer = tracer or NULL_TRACER
     contig_seq = None
     # settled-prefix partial staging: only with the vector emitter (the
-    # hold_back streaming contract) and whole-contig processing
+    # hold_back streaming contract) and whole-contig processing. -C
+    # regions that each span a full contig (the shard-worker pattern)
+    # behave like plain contig processing modulo the indexed seek, so
+    # they stage partials too — otherwise a dense whole-contig region
+    # becomes ONE giant block and the worker faults contig-sized
+    # buffers (hundreds of MB of sys time per shard).
     if (
         getattr(emitter, "vector", None) is not None
-        and not table.regions
+        and (not table.regions or _whole_contig_regions(table))
         and hasattr(npipe, "set_partial")
     ):
         npipe.set_partial(2 * max(cfg.batch_positions, 1024))

@@ -89,3 +89,50 @@ def test_fast_concat_compressed_input_falls_back(tmp_path):
         g.write(f.read())
     a, b = _both([p1, p2], tmp_path, order)
     assert a == b
+
+
+def test_segments_binary_search_multi_contig(tmp_path):
+    """_text_contig_segments finds every run boundary via binary search
+    (no full-file scan): multi-contig shards, skipped-contig universes,
+    out-of-order and foreign contigs."""
+    from bs_call_tpu.parallel.shard_runner import _text_contig_segments
+
+    hdr = "##fileformat=VCFv4.2\n#CHROM\tPOS\n"
+    order = {f"chr{i}": i for i in range(1, 8)}
+    names = list(order)
+
+    def mk(path, runs):
+        with open(path, "w") as f:
+            f.write(hdr)
+            for name, n in runs:
+                for k in range(n):
+                    f.write(f"{name}\t{k + 1}\tx\n")
+        return str(path)
+
+    # several runs, uneven sizes, universe gaps
+    p = mk(tmp_path / "a.vcf",
+           [("chr1", 1), ("chr3", 1000), ("chr6", 3), ("chr7", 1)])
+    header_end, segs = _text_contig_segments(p, names, order)
+    data = open(p, "rb").read()
+    assert data[:header_end].endswith(b"#CHROM\tPOS\n")
+    assert [r for r, _, _ in segs] == [1, 3, 6, 7]
+    assert segs[0][1] == header_end and segs[-1][2] == len(data)
+    for rank, start, end in segs:
+        body = data[start:end].decode()
+        name = names[rank - 1]
+        assert all(l.startswith(name + "\t")
+                   for l in body.splitlines())
+    # single contig
+    p = mk(tmp_path / "b.vcf", [("chr2", 5)])
+    _, segs = _text_contig_segments(p, names, order)
+    assert len(segs) == 1 and segs[0][0] == 2
+    # out-of-order runs: generic merge
+    p = mk(tmp_path / "c.vcf", [("chr5", 2), ("chr4", 2)])
+    assert _text_contig_segments(p, names, order) is None
+    # foreign contig: generic merge
+    p = mk(tmp_path / "d.vcf", [("chrX", 2)])
+    assert _text_contig_segments(p, names, order) is None
+    # header only
+    p = mk(tmp_path / "e.vcf", [])
+    header_end, segs = _text_contig_segments(p, names, order)
+    assert segs == []
