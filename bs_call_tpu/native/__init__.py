@@ -9,6 +9,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [
+    os.path.join(_DIR, "bsc_pool.cpp"),
     os.path.join(_DIR, "bsc_ingest.cpp"),
     os.path.join(_DIR, "bsc_pipeline.cpp"),
     os.path.join(_DIR, "bsc_format.cpp"),

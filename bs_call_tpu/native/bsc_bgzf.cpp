@@ -12,8 +12,13 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
+
+namespace bsc {  // bsc_pool.cpp
+void pool_run(int n, const std::function<void(int)> &fn);
+}
 
 namespace {
 
@@ -110,9 +115,7 @@ int64_t bsc_bgzf_deflate_batch(const uint8_t *data, int64_t len, int level,
     if (nt == 1 || nblk == 1) {
         work();
     } else {
-        std::vector<std::thread> ts;
-        for (int k = 0; k < nt; k++) ts.emplace_back(work);
-        for (auto &t : ts) t.join();
+        bsc::pool_run(nt, [&](int) { work(); });
     }
     if (fail.load()) return -1;
     // compact the ordered blocks (slots are larger than blocks, so the

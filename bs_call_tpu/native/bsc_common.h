@@ -9,12 +9,20 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <functional>
 #include <string>
 #include <thread>
 #include <vector>
 #include <zlib.h>
 
 namespace bsc {
+
+// Persistent shared worker pool (bsc_pool.cpp): run fn(0..n-1), caller
+// participates, returns when all complete. Replaces per-call
+// std::thread spawning everywhere — thread stack mmap/munmap churn was
+// the dominant kernel-time cost on shared VMs.
+void pool_run(int n, const std::function<void(int)> &fn);
+int pool_size();
 
 constexpr int MAX_QUAL = 43;
 constexpr int FLT_QUAL = 63;
@@ -115,20 +123,14 @@ class BgzfStream {
             out.resize(offs.back());
             size_t nb = blocks.size();
             unsigned nt = std::min<size_t>(nthreads_, nb);
-            std::vector<std::thread> ths;
-            std::atomic<size_t> next{0};
-            auto worker = [&]() {
-                for (;;) {
-                    size_t i = next.fetch_add(1);
-                    if (i >= nb) break;
-                    inflate_block(blocks[i], out.data() + offs[i]);
-                }
-            };
             if (nt <= 1) {
-                worker();
+                for (size_t i = 0; i < nb; i++)
+                    inflate_block(blocks[i], out.data() + offs[i]);
             } else {
-                for (unsigned t = 0; t < nt; t++) ths.emplace_back(worker);
-                for (auto &t : ths) t.join();
+                uint8_t *base = out.data();
+                pool_run((int)nb, [&](int i) {
+                    inflate_block(blocks[i], base + offs[i]);
+                });
             }
             added += offs.back() - offs[0];
             if (eof_) break;
@@ -244,20 +246,14 @@ struct Reader {
                 offs[i + 1] = offs[i] + blocks[i].isize;
             std::vector<uint8_t> scratch(offs[nb]);
             unsigned nt = std::min<size_t>((size_t)nthreads, nb);
-            std::atomic<size_t> next{0};
-            auto worker = [&]() {
-                for (;;) {
-                    size_t i = next.fetch_add(1);
-                    if (i >= nb) break;
-                    inflate_bgzf_block(blocks[i], scratch.data() + offs[i]);
-                }
-            };
             if (nt <= 1) {
-                worker();
+                for (size_t i = 0; i < nb; i++)
+                    inflate_bgzf_block(blocks[i], scratch.data() + offs[i]);
             } else {
-                std::vector<std::thread> ths;
-                for (unsigned t = 0; t < nt; t++) ths.emplace_back(worker);
-                for (auto &t : ths) t.join();
+                uint8_t *base = scratch.data();
+                pool_run((int)nb, [&](int i) {
+                    inflate_bgzf_block(blocks[i], base + offs[i]);
+                });
             }
             size_t lo = std::min(chunk_skip, scratch.size());
             chunk_skip = 0;

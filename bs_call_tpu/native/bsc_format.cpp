@@ -11,8 +11,13 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
+
+namespace bsc {  // bsc_pool.cpp
+void pool_run(int n, const std::function<void(int)> &fn);
+}
 
 namespace {
 
@@ -335,26 +340,22 @@ int64_t bsc_format_rows(
     const int64_t step = (n + nt - 1) / nt;
     std::vector<std::vector<char>> bufs(nt);
     std::vector<int64_t> lens(nt, 0);
-    std::vector<std::thread> ts;
-    for (int w = 0; w < nt; w++) {
+    bsc::pool_run(nt, [&](int w) {
         const int64_t lo = w * step;
         const int64_t hi = lo + step < n ? lo + step : n;
-        if (lo >= hi) break;
-        ts.emplace_back([&, w, lo, hi]() {
-            // 192 B/row typical; grow by retry if a range overflows
-            int64_t cap = (hi - lo) * 224 + 1024;
-            for (;;) {
-                bufs[w].resize(cap);
-                int64_t r2 = format_range(a, lo, hi, bufs[w].data(), cap);
-                if (r2 >= 0) {
-                    lens[w] = r2;
-                    return;
-                }
-                cap *= 2;
+        if (lo >= hi) return;
+        // 192 B/row typical; grow by retry if a range overflows
+        int64_t cap = (hi - lo) * 224 + 1024;
+        for (;;) {
+            bufs[w].resize(cap);
+            int64_t r2 = format_range(a, lo, hi, bufs[w].data(), cap);
+            if (r2 >= 0) {
+                lens[w] = r2;
+                return;
             }
-        });
-    }
-    for (auto &t : ts) t.join();
+            cap *= 2;
+        }
+    });
     int64_t total = 0;
     for (int w = 0; w < nt; w++) total += lens[w];
     if (total > out_cap) return -1;

@@ -20,8 +20,13 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
+
+namespace bsc {  // bsc_pool.cpp
+void pool_run(int n, const std::function<void(int)> &fn);
+}
 
 namespace {
 
@@ -198,16 +203,14 @@ void bsc_model_call(void *h, int64_t n, const int32_t *counts,
                    off_sum);
         return;
     }
-    std::vector<std::thread> ts;
     const int64_t step = (n + nt - 1) / nt;
-    for (int w = 0; w < nt; w++) {
+    bsc::pool_run(nt, [&](int w) {
         const int64_t lo = w * step;
         const int64_t hi = lo + step < n ? lo + step : n;
-        if (lo >= hi) break;
-        ts.emplace_back(call_range, m, lo, hi, counts, quals, ref,
-                        gt_prob, max_gt, margin, off_sum);
-    }
-    for (auto &t : ts) t.join();
+        if (lo < hi)
+            call_range(m, lo, hi, counts, quals, ref, gt_prob, max_gt,
+                       margin, off_sum);
+    });
 }
 
 }  // extern "C"

@@ -1284,19 +1284,14 @@ struct Pipeline {
             return;
         }
         std::vector<Stats> parts(st ? nt : 0);
-        std::vector<std::thread> ts;
         const size_t step = (n + nt - 1) / nt;
-        for (int w = 0; w < nt; w++) {
+        bsc::pool_run(nt, [&](int w) {
             const size_t lo = w * step;
             const size_t hi = lo + step < n ? lo + step : n;
-            if (lo >= hi) break;
             Stats *pst = st ? &parts[w] : nullptr;
-            ts.emplace_back([this, &todo, lo, hi, pst]() {
-                for (size_t i = lo; i < hi; i++)
-                    process_align(todo[i], pst);
-            });
-        }
-        for (auto &t : ts) t.join();
+            for (size_t i = lo; i < hi; i++)
+                process_align(todo[i], pst);
+        });
         if (st) {
             for (const Stats &ps : parts) {
                 for (int i = 0; i < 15; i++) {
@@ -1504,16 +1499,13 @@ struct Pipeline {
             return;
         }
         const int64_t step = (sz + nt - 1) / nt;
-        std::vector<std::thread> ts;
-        for (int w = 0; w < nt; w++) {
+        bsc::pool_run(nt, [&](int w) {
             int64_t plo = (int64_t)blk_x + w * step;
             int64_t phi = plo + step - 1;
             if (phi > (int64_t)blk_y) phi = blk_y;
-            if (plo > phi) break;
-            ts.emplace_back(&Pipeline::pileup_range, this, counts2,
-                            qual_sum, mapq2, plo, phi);
-        }
-        for (auto &t : ts) t.join();
+            if (plo <= phi)
+                pileup_range(counts2, qual_sum, mapq2, plo, phi);
+        });
     }
 
     // --- normalized read-batch export (fused device pileup+call) ---
@@ -1576,17 +1568,13 @@ struct Pipeline {
         if ((int64_t)nt * 32768 > sz) nt = (int)(sz / 32768) + 1;
         if (nt > 1) {  // row-parallel: each position is independent
             const int64_t step = (sz + nt - 1) / nt;
-            std::vector<std::thread> ts;
-            for (int w = 0; w < nt; w++) {
+            bsc::pool_run(nt, [&](int w) {
                 int64_t lo = w * step;
                 int64_t hi = lo + step < sz ? lo + step : sz;
-                if (lo >= hi) break;
-                ts.emplace_back([=]() {
+                if (lo < hi)
                     aggregate_range(counts2, qual_sum, mapq2, counts8,
                                     quals8, mq, aq, ntot, lo, hi);
-                });
-            }
-            for (auto &t : ts) t.join();
+            });
             return;
         }
         aggregate_range(counts2, qual_sum, mapq2, counts8, quals8, mq,
