@@ -498,6 +498,44 @@ def _timed(cmd_factory, n_items, runs=3, warm=1, timeout=600):
     return n_items / sorted(times)[len(times) // 2]
 
 
+def _timed_ab(contestants, n_items, rounds=4, warm=1):
+    """Interleaved A/B timing: run each contestant once per round, in
+    round-robin order, and score each by its BEST (min) wall time.
+
+    Why min-of-interleaved rather than median-of-consecutive: this host
+    intermittently enters multi-second kernel-time episodes (host-level
+    memory-management stalls: identical runs swing 2.4s -> 24s with the
+    extra time charged to sys; both our binary and the reference C
+    binary are hit). The episodes only ever ADD time, so min is the
+    noise-free estimator, and interleaving guarantees every contestant
+    saw the same window mix. Failures score None. Per-run wall times
+    are printed so BENCH files keep the dispersion visible."""
+    times = {name: [] for name, _ in contestants}
+    for r in range(warm + rounds):
+        for name, fn in contestants:
+            if times[name] is None:
+                continue
+            t0 = time.perf_counter()
+            try:
+                fn()
+            except Exception as e:
+                print(f"{name} failed: {e}", file=sys.stderr)
+                times[name] = None
+                continue
+            if r >= warm:
+                times[name].append(time.perf_counter() - t0)
+    out = {}
+    for name, ts in times.items():
+        if ts:
+            out[name] = n_items / min(ts)
+            print(
+                f"per-host {name}: {out[name]:.0f} reads/s  "
+                f"walls={[round(t, 2) for t in ts]}",
+                file=sys.stderr,
+            )
+    return out
+
+
 def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
     """Head-to-head per-host e2e: our caller (best of single-process and
     --shards N) vs the compiled reference (best of single process and
@@ -541,13 +579,18 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
     host_env.pop("PALLAS_AXON_POOL_IPS", None)
     host_env["JAX_PLATFORMS"] = "cpu"
 
+    # Every timed contestant writes to /dev/null: this host throttles
+    # concurrent page-cache writers (ext4 wbt + host-level stalls), and
+    # which contestant pays depends on the dirty-page debt left by the
+    # PREVIOUS run — /dev/null keeps the contest about the pipeline.
+    # (--shards workers still write real partial files, to tmpfs.)
     def py_run(extra, use_env=None):
         renv = host_env if use_env is None else use_env
 
         def go():
             r = subprocess.run(
                 [sys.executable, "-m", "bs_call_tpu.cli", bam, "-r", ref,
-                 "-o", os.path.join(tmp, "py.vcf"), "--benchmark-mode",
+                 "-o", "/dev/null", "--benchmark-mode",
                  "-n", "S", *extra],
                 capture_output=True, env=renv, cwd=REPO, timeout=600,
             )
@@ -555,17 +598,10 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
                 raise RuntimeError(r.stderr[-400:].decode("utf-8", "replace"))
         return go
 
-    results = {}
-    results["ours_single"] = _timed(py_run([]), n_recs, runs=runs)
-    results["ours_shards"] = _timed(
-        py_run(["--shards", str(nproc)]), n_recs, runs=runs
-    )
-    try:  # context: the same run with the accelerator plugin dialed in
-        results["ours_single_pluginenv"] = _timed(
-            py_run([], use_env=env), n_recs, runs=1, warm=0
-        )
-    except Exception:
-        pass
+    contestants = [
+        ("ours_single", py_run([])),
+        ("ours_shards", py_run(["--shards", str(nproc)])),
+    ]
     if binary is not None:
         beds = []
         for i in range(1, n_contigs + 1):
@@ -576,7 +612,7 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
 
         def c_single():
             r = subprocess.run(
-                [binary, bam, "-r", ref, "-o", os.path.join(tmp, "c.vcf"),
+                [binary, bam, "-r", ref, "-o", "/dev/null",
                  "--benchmark-mode", "-n", "S"],
                 capture_output=True, timeout=600,
             )
@@ -588,8 +624,7 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
             # process per contig, all in parallel (README.md:73-76)
             procs = [
                 subprocess.Popen(
-                    [binary, bam, "-r", ref,
-                     "-o", os.path.join(tmp, f"c{i}.vcf"),
+                    [binary, bam, "-r", ref, "-o", "/dev/null",
                      "--benchmark-mode", "-n", "S", "-C", beds[i - 1]],
                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                 )
@@ -599,10 +634,22 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
                 if p.wait(timeout=600) != 0:
                     raise RuntimeError("reference shard failed")
 
-        results["ref_single"] = _timed(c_single, n_recs, runs=runs)
-        results["ref_perhost"] = _timed(c_perhost, n_recs, runs=runs)
-    for k, v in results.items():
-        print(f"per-host {k}: {v:.0f} reads/s", file=sys.stderr)
+        contestants += [
+            ("ref_single", c_single),
+            ("ref_perhost", c_perhost),
+        ]
+    results = _timed_ab(contestants, n_recs, rounds=max(runs, 4))
+    try:  # context: the same run with the accelerator plugin dialed in
+        results["ours_single_pluginenv"] = _timed(
+            py_run([], use_env=env), n_recs, runs=1, warm=0
+        )
+        print(
+            f"per-host ours_single_pluginenv: "
+            f"{results['ours_single_pluginenv']:.0f} reads/s",
+            file=sys.stderr,
+        )
+    except Exception:
+        pass
     return results
 
 
@@ -629,9 +676,13 @@ def main():
     headline = None
     try:
         r = bench_per_host()
-        ours = max(r["ours_single"], r["ours_shards"])
-        if "ref_perhost" in r:
-            ref_best = max(r["ref_single"], r["ref_perhost"])
+        ours = max(
+            v for k, v in r.items() if k.startswith("ours") and v
+        )
+        if "ref_single" in r or "ref_perhost" in r:
+            ref_best = max(
+                v for k, v in r.items() if k.startswith("ref") and v
+            )
             headline = {
                 "metric": "e2e_per_host_reads_per_sec",
                 "value": round(ours),

@@ -5,6 +5,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -23,6 +24,34 @@ namespace bsc {
 // the dominant kernel-time cost on shared VMs.
 void pool_run(int n, const std::function<void(int)> &fn);
 int pool_size();
+
+// Opt-in phase profiling (BSC_PROF=1; bsc_pool.cpp): cumulative WALL
+// seconds per labeled call site, reported at exit. Builder tooling.
+bool prof_on();
+void prof_add(int *slot, const char *name, int64_t ns);
+
+struct ProfScope {
+    int *slot;
+    const char *name;
+    std::chrono::steady_clock::time_point t0;
+    bool on;
+    ProfScope(int *s, const char *n)
+        : slot(s), name(n), on(prof_on()) {
+        if (on) t0 = std::chrono::steady_clock::now();
+    }
+    ~ProfScope() {
+        if (on)
+            prof_add(slot, name,
+                     (std::chrono::steady_clock::now() - t0).count());
+    }
+};
+
+#define BSC_PROF_CAT2(a, b) a##b
+#define BSC_PROF_CAT(a, b) BSC_PROF_CAT2(a, b)
+#define BSC_PROF_SCOPE(label)                                   \
+    static int BSC_PROF_CAT(_prof_slot_, __LINE__) = -1;        \
+    bsc::ProfScope BSC_PROF_CAT(_prof_scope_, __LINE__)(        \
+        &BSC_PROF_CAT(_prof_slot_, __LINE__), label)
 
 constexpr int MAX_QUAL = 43;
 constexpr int FLT_QUAL = 63;
@@ -123,6 +152,7 @@ class BgzfStream {
             out.resize(offs.back());
             size_t nb = blocks.size();
             unsigned nt = std::min<size_t>(nthreads_, nb);
+            BSC_PROF_SCOPE("inflate.batch");
             if (nt <= 1) {
                 for (size_t i = 0; i < nb; i++)
                     inflate_block(blocks[i], out.data() + offs[i]);
@@ -246,6 +276,7 @@ struct Reader {
                 offs[i + 1] = offs[i] + blocks[i].isize;
             std::vector<uint8_t> scratch(offs[nb]);
             unsigned nt = std::min<size_t>((size_t)nthreads, nb);
+            BSC_PROF_SCOPE("inflate.chunk_batch");
             if (nt <= 1) {
                 for (size_t i = 0; i < nb; i++)
                     inflate_bgzf_block(blocks[i], scratch.data() + offs[i]);

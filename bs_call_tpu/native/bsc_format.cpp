@@ -78,8 +78,19 @@ inline char *put_g6(char *p, double x) {
         *p++ = '-';
         a = -x;
     }
-    // decimal exponent estimate, corrected by the scaling loop below
-    int e = (int)floor(log10(a));
+    // decimal exponent estimate, corrected by the scaling loop below:
+    // floor(e2 * log10(2)) from the raw binary exponent is within 1 of
+    // the true decimal exponent for every normal double, and the loop
+    // fixes any off-by-one — so no log10() call is needed
+    uint64_t bits;
+    memcpy(&bits, &a, 8);
+    int e2 = (int)((bits >> 52) & 0x7FF);
+    int e;
+    if (e2 == 0) {  // subnormal: scale into the normal range first
+        e = (int)floor(log10(a));
+    } else {
+        e = (int)(((int64_t)(e2 - 1023) * 315653) >> 20);  // *log10(2)
+    }
     uint64_t d;
     for (int iter = 0;; iter++) {
         int idx = 5 - e + 80;

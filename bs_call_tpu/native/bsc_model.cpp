@@ -157,7 +157,12 @@ void call_range(const GtModel *m, int64_t lo, int64_t hi,
         for (int g = 0; g < 10; g++) {
             if (g != mx) {
                 if (ll[g] > second) second = ll[g];
-                off += exp(ll[g] - mval);
+                const double d = ll[g] - mval;
+                // exp(d) is exactly 0.0 below the subnormal floor
+                // (glibc returns +0 for d <= -746), so skipping the
+                // call is bit-identical; deep losers are common at
+                // real coverage, saving most of the exp() cost
+                if (d > -746.0) off += exp(d);
             }
         }
         const double lo1p = log1p(off);

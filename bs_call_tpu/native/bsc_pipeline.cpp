@@ -962,7 +962,11 @@ struct Pipeline {
             Align *al = pending ? pending : new_align();
             pending = nullptr;
             al->clear();
-            ClassifyResult res = classify(rec, *al, cfg);
+            ClassifyResult res;
+            {
+                BSC_PROF_SCOPE("ingest.classify");
+                res = classify(rec, *al, cfg);
+            }
             if (res.skip) {
                 if (st) {
                     st->filter_cts[res.filtered]++;
@@ -1276,6 +1280,7 @@ struct Pipeline {
     // partials merged afterwards (integer sums — order-free), so the
     // result is identical to the sequential loop for any thread count.
     void process_aligns_mt(std::vector<Align *> &todo, Stats *st) {
+        BSC_PROF_SCOPE("ingest.process_aligns");
         const size_t n = todo.size();
         int nt = n_threads < 1 ? 1 : n_threads;
         if ((size_t)nt * 512 > n) nt = (int)(n / 512) + 1;

@@ -28,6 +28,8 @@
 
 #include <atomic>
 #include <condition_variable>
+#include <cstdio>
+#include <cstdlib>
 #include <deque>
 #include <functional>
 #include <mutex>
@@ -55,8 +57,14 @@ class Pool {
   public:
     explicit Pool(int nworkers) {
         workers_.reserve(nworkers);
-        for (int i = 0; i < nworkers; i++)
+        for (int i = 0; i < nworkers; i++) {
             workers_.emplace_back([this]() { worker(); });
+#ifdef __linux__
+            char nm[16];
+            snprintf(nm, sizeof(nm), "bsc-pool-%d", i);
+            pthread_setname_np(workers_.back().native_handle(), nm);
+#endif
+        }
     }
 
     // No destructor teardown: the pool lives for the process. (Static
@@ -183,6 +191,56 @@ __attribute__((constructor)) void init_native_runtime() {
 }  // namespace
 
 int pool_size() { return get_pool() ? affinity_count() : 1; }
+
+// --- opt-in phase profiling (BSC_PROF=1): cumulative seconds per
+// labeled phase, printed to stderr at exit. Builder tooling for the
+// PERF.md wall-time split; zero cost when the env var is unset. ---
+
+namespace {
+struct ProfEntry {
+    const char *name;
+    std::atomic<int64_t> ns{0};
+    std::atomic<int64_t> calls{0};
+};
+constexpr int kMaxProf = 64;
+ProfEntry g_prof[kMaxProf];
+std::atomic<int> g_prof_n{0};
+bool prof_enabled() {
+    static const bool on = [] {
+        const char *v = getenv("BSC_PROF");
+        return v && *v && *v != '0';
+    }();
+    return on;
+}
+void prof_report() {
+    int n = g_prof_n.load();
+    for (int i = 0; i < n; i++)
+        fprintf(stderr, "BSC_PROF %-24s %8.3fs  x%lld\n", g_prof[i].name,
+                g_prof[i].ns.load() / 1e9,
+                (long long)g_prof[i].calls.load());
+}
+}  // namespace
+
+bool prof_on() { return prof_enabled(); }
+
+void prof_add(int *slot, const char *name, int64_t ns) {
+    int s = *slot;
+    if (s < 0) {
+        static std::mutex m;
+        std::lock_guard<std::mutex> lk(m);
+        s = *slot;
+        if (s < 0) {
+            s = g_prof_n.load();
+            if (s >= kMaxProf) return;
+            g_prof[s].name = name;
+            if (s == 0) atexit(prof_report);
+            g_prof_n.store(s + 1);
+            *slot = s;
+        }
+    }
+    g_prof[s].ns.fetch_add(ns, std::memory_order_relaxed);
+    g_prof[s].calls.fetch_add(1, std::memory_order_relaxed);
+}
 
 void pool_run(int n, const std::function<void(int)> &fn) {
     if (n <= 0) return;

@@ -25,6 +25,8 @@
 #include <cstring>
 #include <vector>
 
+#include "bsc_common.h"
+
 extern "C" {
 // siblings in this shared object
 void bsp_block_pileup(void *h, int32_t *counts2, float *qual_sum,
@@ -218,12 +220,14 @@ void bsre_load(void *h, int32_t slot, void *pipe, int64_t x, int64_t y,
     s.ntot.resize(sz);
     s.refw.assign(refw, refw + rw_len);
     if (rw_len < sz + 2) s.refw.resize(sz + 2, 0);
+    { BSC_PROF_SCOPE("row.pileup");
     bsp_block_pileup(pipe, s.counts2.data(), s.qual_sum.data(),
-                     s.mapq2.data(), e->n_threads);
+                     s.mapq2.data(), e->n_threads); }
+    { BSC_PROF_SCOPE("row.aggregate");
     bsp_block_aggregate(pipe, s.counts2.data(), s.qual_sum.data(),
                         s.mapq2.data(), s.counts8.data(),
                         s.quals8.data(), s.mqv.data(), s.aqv.data(),
-                        s.ntot.data(), e->n_threads);
+                        s.ntot.data(), e->n_threads); }
     s.cov.clear();
     for (int64_t i = 0; i < sz; i++)
         if (s.ntot[i] > 0) s.cov.push_back(i);
@@ -239,10 +243,40 @@ int64_t bsre_model(void *h, int32_t slot) {
     RowEngine *e = (RowEngine *)h;
     Slot &s = e->slots[slot];
     const int64_t nc = (int64_t)s.cov.size();
-    s.gt_prob.assign(s.sz * 10, 0.0);
-    s.max_gt.assign(s.sz, 0);
+    const int64_t sz = s.sz;
     s.ties.clear();
-    if (nc == 0) return 0;
+    if (nc == 0) {
+        s.gt_prob.assign(sz * 10, 0.0);
+        s.max_gt.assign(sz, 0);
+        return 0;
+    }
+    const bool dense = nc == sz;  // every position covered: no gather
+    s.cmargin.resize(nc);
+    s.coff.resize(nc);
+    if (dense) {
+        // model inputs/outputs are the slot arrays themselves — the
+        // gather/scatter below would memcpy ~200B per position for an
+        // identity mapping (dense WGBS blocks are the common case)
+        s.gt_prob.resize(sz * 10);
+        s.max_gt.resize(sz);
+        s.cr.resize(sz);
+        for (int64_t i = 0; i < sz; i++) s.cr[i] = s.refw[i];
+        { BSC_PROF_SCOPE("row.model_call");
+        bsc_model_call(e->model, sz, s.counts8.data(), s.quals8.data(),
+                       s.cr.data(), e->n_threads, s.gt_prob.data(),
+                       s.max_gt.data(), s.cmargin.data(),
+                       s.coff.data()); }
+        for (int64_t i = 0; i < sz; i++) {
+            // engine._finish_exact: C-style max-entry replacement with
+            // the reference's 1+off absorption (genotype_model.c:240-244)
+            s.gt_prob[i * 10 + s.max_gt[i]] =
+                -log(1.0 + s.coff[i]) / kLog10;
+            if (s.cmargin[i] < 1e-9) s.ties.push_back(i);
+        }
+        return (int64_t)s.ties.size();
+    }
+    s.gt_prob.assign(sz * 10, 0.0);
+    s.max_gt.assign(sz, 0);
     s.cc.resize(nc * 8);
     s.cq.resize(nc * 8);
     s.cr.resize(nc);
@@ -254,11 +288,10 @@ int64_t bsre_model(void *h, int32_t slot) {
     }
     s.cgp.resize(nc * 10);
     s.cmg.resize(nc);
-    s.cmargin.resize(nc);
-    s.coff.resize(nc);
+    { BSC_PROF_SCOPE("row.model_call");
     bsc_model_call(e->model, nc, s.cc.data(), s.cq.data(), s.cr.data(),
                    e->n_threads, s.cgp.data(), s.cmg.data(),
-                   s.cmargin.data(), s.coff.data());
+                   s.cmargin.data(), s.coff.data()); }
     for (int64_t j = 0; j < nc; j++) {
         const int64_t i = s.cov[j];
         double *gp = &s.gt_prob[i * 10];
@@ -316,6 +349,7 @@ int64_t bsre_emit(void *h, int32_t slot, const char *ctg_name,
     const int64_t sz = s.sz;
     // --- Fisher strand (after tie fixes: max_gt is final) ---
     if (!s.fisher_done) {
+        BSC_PROF_SCOPE("emit.fisher");
         s.fs.assign(sz, 0.0);
         std::vector<int64_t> hrows;
         for (int64_t j = 0; j < (int64_t)s.cov.size(); j++) {
@@ -354,6 +388,7 @@ int64_t bsre_emit(void *h, int32_t slot, const char *ctg_name,
         s.fisher_done = true;
     }
     // --- genotype 5-windows + reference 7-windows ---
+    BSC_PROF_SCOPE("emit.rest");
     s.gt1.resize(sz);
     for (int64_t i = 0; i < sz; i++)
         s.gt1[i] = s.ntot[i] > 0 ? s.max_gt[i] + 1 : 0;
@@ -366,8 +401,17 @@ int64_t bsre_emit(void *h, int32_t slot, const char *ctg_name,
     };
     s.rf7.resize(sz * 7);
     const uint8_t *rw = s.refw.data();
-    for (int64_t i = 2; i < sz - 2; i++)
-        trunc_copy(rw + i - 2, &s.rf7[i * 7], 7);
+    {
+        const int nt7 = sz > 65536 ? 4 : 1;
+        const int64_t step7 = (sz + nt7 - 1) / nt7;
+        bsc::pool_run(nt7, [&](int w) {
+            int64_t lo = w * step7 < 2 ? 2 : w * step7;
+            int64_t hi = (w + 1) * step7;
+            if (hi > sz - 2) hi = sz - 2;
+            for (int64_t i = lo; i < hi; i++)
+                trunc_copy(rw + i - 2, &s.rf7[i * 7], 7);
+        });
+    }
     {   // edge fixups (print_vcf.c:576-580 push offsets / flush rows)
         uint8_t t[7];
         memset(&s.rf7[0], 0, 7);
@@ -419,7 +463,13 @@ int64_t bsre_emit(void *h, int32_t slot, const char *ctg_name,
     s.egp.resize(n * 10); s.efs.resize(n);
     s.epos.resize(n);
     s.eprf.resize(n * 5); s.ectx.resize(n * 5);
-    for (int64_t j = 0; j < n; j++) {
+    { BSC_PROF_SCOPE("emit.gather");
+    const int ntg = n > 32768 ? 4 : 1;
+    const int64_t stepg = (n + ntg - 1) / ntg;
+    bsc::pool_run(ntg, [&](int w) {
+    const int64_t glo = w * stepg;
+    const int64_t ghi = glo + stepg < n ? glo + stepg : n;
+    for (int64_t j = glo; j < ghi; j++) {
         const int64_t i = s.eidx[j];
         s.eg[j] = s.max_gt[i];
         s.er[j] = s.rf7[i * 7 + 2];
@@ -437,25 +487,41 @@ int64_t bsre_emit(void *h, int32_t slot, const char *ctg_name,
             s.ectx[j * 5 + k] = e->iupac[g5(i, k)];
         }
     }
+    }); }
     // --- per-row field prep (bsc_emit.cpp) ---
     s.eph.resize(n); s.edp1.resize(n); s.eqd.resize(n);
     s.efsi.resize(n); s.eflt.resize(n); s.ecg.resize(n);
     s.emac.resize(n); s.eccg.resize(n); s.ehet.resize(n);
     s.eglv.resize(n * 5); s.egll.resize(n);
     if (n) {
-        bsc_emit_prep(n, s.ecnt.data(), s.egp.data(), s.eg.data(),
-                      s.er.data(), s.emq.data(), s.efs.data(),
-                      s.eg1.data(), s.eg2.data(), s.eg3.data(),
-                      e->gl_idx, e->gl_len, e->het, e->cflag, e->gflag,
-                      s.eph.data(), s.edp1.data(), s.eqd.data(),
-                      s.efsi.data(), s.eflt.data(), s.emac.data(),
-                      s.eglv.data(), s.egll.data(), s.ecg.data(),
-                      s.eccg.data(), s.ehet.data());
+        BSC_PROF_SCOPE("emit.prep");
+        // per-row independent: split into contiguous ranges on the pool
+        const int ntp = n > 32768 ? 4 : 1;
+        const int64_t stepp = (n + ntp - 1) / ntp;
+        bsc::pool_run(ntp, [&](int w) {
+            const int64_t lo = w * stepp;
+            const int64_t hi = lo + stepp < n ? lo + stepp : n;
+            if (lo >= hi) return;
+            const int64_t m = hi - lo;
+            bsc_emit_prep(m, s.ecnt.data() + lo * 8,
+                          s.egp.data() + lo * 10, s.eg.data() + lo,
+                          s.er.data() + lo, s.emq.data() + lo,
+                          s.efs.data() + lo, s.eg1.data() + lo,
+                          s.eg2.data() + lo, s.eg3.data() + lo,
+                          e->gl_idx, e->gl_len, e->het, e->cflag,
+                          e->gflag, s.eph.data() + lo,
+                          s.edp1.data() + lo, s.eqd.data() + lo,
+                          s.efsi.data() + lo, s.eflt.data() + lo,
+                          s.emac.data() + lo, s.eglv.data() + lo * 5,
+                          s.egll.data() + lo, s.ecg.data() + lo,
+                          s.eccg.data() + lo, s.ehet.data() + lo);
+        });
     }
     // --- format FIRST (so a too-small buffer retries with no state
     // or stats side effects) ---
     int64_t written = 0;
     if (n) {
+        BSC_PROF_SCOPE("emit.format");
         s.ers_off.assign(n + 1, 0);
         written = bsc_format_rows(
             n, ctg_name, s.epos.data(), s.eg.data(), s.er.data(),

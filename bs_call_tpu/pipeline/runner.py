@@ -539,6 +539,21 @@ def process_contig_blocks_native(
         except Exception as e:  # surface errors on the consumer side
             _put(e)
 
+    import os as _dbg_os
+    if _dbg_os.environ.get("BSC_THREAD_RUSAGE"):
+        import resource as _res, sys as _dbg_sys
+
+        def _rusage_wrap(fn, label):
+            def run():
+                try:
+                    fn()
+                finally:
+                    ru = _res.getrusage(_res.RUSAGE_THREAD)
+                    print(f"RUSAGE {label} pid={_dbg_os.getpid()} "
+                          f"user={ru.ru_utime:.2f} sys={ru.ru_stime:.2f}",
+                          file=_dbg_sys.stderr, flush=True)
+            return run
+        produce = _rusage_wrap(produce, "producer")
     t = threading.Thread(target=produce, daemon=True)
     t.start()
     # emit stage runs on its own thread (the reference's print_thread,
@@ -576,6 +591,8 @@ def process_contig_blocks_native(
             except Exception as e:
                 emit_err.append(e)
 
+    if _dbg_os.environ.get("BSC_THREAD_RUSAGE"):
+        emit_worker = _rusage_wrap(emit_worker, "emit")
     et = threading.Thread(target=emit_worker, daemon=True)
     et.start()
     try:

@@ -46,6 +46,7 @@ def _wrap(obj, name, label):
 def main():
     bam, ref = sys.argv[1], sys.argv[2]
     runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    threads = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from bs_call_tpu.config import CallerConfig
     from bs_call_tpu.pipeline import engine as eng
@@ -67,6 +68,16 @@ def main():
     _wrap(npipe.NativePipeline, "next_block", "ingest.next_block")
     _wrap(npipe.NativePipeline, "_collect_block", "  collect_block")
     _wrap(gn.NativeGtModel, "call", "  gt_model.call(C++)")
+    if hasattr(npipe.NativePipeline, "next_block_meta"):
+        _wrap(npipe.NativePipeline, "next_block_meta", "ingest.next_meta")
+    try:
+        from bs_call_tpu.native import rowengine as rwe
+
+        _wrap(rwe.HostRowEngine, "load", "row.load")
+        _wrap(rwe.HostRowEngine, "model", "row.model")
+        _wrap(rwe.HostRowEngine, "emit", "row.emit")
+    except ImportError:
+        pass
 
     wall = []
     for i in range(runs):
@@ -76,6 +87,10 @@ def main():
             input_file=bam, reference_file=ref, benchmark_mode=True,
             sample_name="S",
         )
+        if threads:
+            cfg.threads = threads
+            cfg.input_threads = threads
+            cfg.output_threads = threads
         out = open(os.devnull, "wb")
         t0 = time.perf_counter()
         runner.run_caller(cfg, out_fileobj=out)
