@@ -411,18 +411,41 @@ inline bool next_record(Reader &r, RawRec &rec) {
 inline const uint8_t NIB2CODE[16] = {0, 1, 2, 0, 3, 0, 0, 0,
                                      4, 0, 0, 0, 0, 0, 0, 0};
 
-// packed (base | qual<<2) byte encoding (input_sam.c:77-87)
+// packed (base | qual<<2) byte encoding (input_sam.c:77-87).
+// Split into a byte->2-codes LUT expansion plus a branchless
+// combine loop so the compiler can vectorize it (~90M bases/run on a
+// WGBS batch; the branchy original was ~half of record-classify time).
+struct SeqCodeLut {
+    uint16_t v[256];  // two 0..4 codes per packed seq byte, LE order
+    SeqCodeLut() {
+        for (int b = 0; b < 256; b++)
+            v[b] = (uint16_t)(NIB2CODE[b >> 4] | (NIB2CODE[b & 0xF] << 8));
+    }
+};
+inline const SeqCodeLut SEQ_CODE_LUT;
+
 inline void pack_read(const RawRec &rec, uint8_t *out) {
-    for (int32_t k = 0; k < rec.l_seq; k++) {
-        uint8_t nib =
-            (k & 1) ? (rec.seq[k >> 1] & 0xF) : (rec.seq[k >> 1] >> 4);
-        uint8_t code = NIB2CODE[nib];
-        uint8_t qv = rec.qual[k];
-        if (qv == 0xFF) qv = 0;
-        if (qv > MAX_QUAL) qv = MAX_QUAL;
-        out[k] = code ? (uint8_t)((code - 1) | (qv << 2)) : 0;
+    const int32_t n = rec.l_seq;
+    // expand 4-bit bases to one code byte each (writes may overrun by
+    // one byte into out[n] for odd n; callers size out to l_seq rounded
+    // up — see pack_read_cap below)
+    for (int32_t k = 0; k < n; k += 2) {
+        uint16_t two = SEQ_CODE_LUT.v[rec.seq[k >> 1]];
+        memcpy(out + k, &two, 2);
+    }
+    for (int32_t k = 0; k < n; k++) {
+        int code = out[k];
+        int qv = rec.qual[k];
+        qv = (qv == 0xFF) ? 0 : qv;
+        qv = qv > MAX_QUAL ? MAX_QUAL : qv;
+        out[k] = (uint8_t)((code - 1) | (qv << 2)) &
+                 (uint8_t)-(code != 0);
     }
 }
+
+// required capacity of `out` for pack_read (the LUT expansion writes
+// whole byte pairs)
+inline int32_t pack_read_cap(int32_t l_seq) { return l_seq + (l_seq & 1); }
 
 // bisulfite strand from aux tags (input_sam.c:144-220); later tags win
 inline int scan_bs_strand(const uint8_t *s, const uint8_t *end) {

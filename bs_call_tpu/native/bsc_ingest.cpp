@@ -46,7 +46,8 @@ int bsc_next_batch(void *h, int max_records,
         size_t save = r->pos;
         RawRec rec;
         if (!bsc::next_record(*r, rec)) break;
-        if (cig_n + rec.n_cigar > cigar_cap || seq_n + rec.l_seq > seq_cap ||
+        if (cig_n + rec.n_cigar > cigar_cap ||
+            seq_n + bsc::pack_read_cap(rec.l_seq) > seq_cap ||
             name_n + rec.name_len > name_cap) {
             r->pos = save;
             break;

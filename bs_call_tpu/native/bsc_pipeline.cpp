@@ -251,8 +251,11 @@ ClassifyResult classify(const RawRec &rec, Align &al, const Config &cfg) {
             res.flag = aflag;
             return res;
         }
-        al.read[ix].resize(rec.l_seq);
+        // pack_read's LUT expansion writes whole byte pairs: reserve
+        // the rounded-up capacity, then shrink to the true length
+        al.read[ix].resize(pack_read_cap(rec.l_seq));
         pack_read(rec, al.read[ix].data());
+        al.read[ix].resize(rec.l_seq);
         al.has_read[ix] = true;
         al.bs_strand = scan_bs_strand(rec.aux, rec.aux_end);
     }
