@@ -206,9 +206,14 @@ class DbSnpContig:
             z = b.name_buf[tp1 + k]
             digits.append(_DTAB[z >> 4])
             digits.append(_DTAB[z & 15])
-        # strip packing terminators (reference keeps an embedded NUL for
-        # odd-length numbers; text output stops at it anyway)
-        num = "".join(digits).rstrip("\x00")
+        # the reference decodes two chars per packed byte UNCONDITIONALLY
+        # (dbSNP.c:341-342) and *rs_len = tp - rs counts the decoded
+        # padding nibble too — so odd-digit names carry a trailing NUL
+        # that lands in the VCF ID field (bcf_enc_size(rs_len) +
+        # kputsn, print_vcf.c:169-170). Keep it verbatim: byte parity
+        # vs the compiled binary (tests/test_reference_matrix.py)
+        # depends on it.
+        num = "".join(digits)
         return res, name + num
 
 

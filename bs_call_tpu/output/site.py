@@ -437,11 +437,17 @@ class SiteEmitter:
                     gcov.gc_pcent[gc] += 1
         if skip:
             return
-        if alt and alt[0] != ".":
+        if self.cfg.reference_quirks:
+            # print_vcf.c's ALT loop (:177-181) leaves `alt` on its NUL,
+            # so the gate at :400 counts EVERY emitted site as a SNP and
+            # :401 never sees a comma (vector_site.variant_gate_luts)
+            snp = True
+        elif alt and alt[0] != ".":
             if len(alt) > 1:
                 multi = True
             else:
                 snp = True
+        if snp or multi:
             if snp:
                 stats.snps[0] += 1
                 if ctg_stats:

@@ -150,6 +150,27 @@ for _g in range(10):
         IS_MULTI[_g, _r] = len(alt) > 1
 
 
+def variant_gate_luts(quirks: bool):
+    """(is_var, is_multi) LUTs for the report's variant gate.
+
+    quirks=True reproduces a reference bug: the ALT-encoding loop
+    advances `alt` to its NUL terminator (print_vcf.c:177-181), so the
+    later stats gate `alt[0] != '.'` (print_vcf.c:400) is TRUE for
+    every emitted site — including hom-ref rows emitted via -A or a
+    dbSNP selection — and `alt[1] == ','` (:401) reads the byte after
+    the terminator, which is never a comma in the compiled string
+    table. Net effect in the real binary: every emitted row counts as
+    a SNP, Multiallelic stays 0, quality.Variant == quality.All, and
+    coverage .var counts every emitted row. Verified against the
+    compiled reference (tests/test_reference_matrix.py)."""
+    if quirks:
+        return (
+            np.ones((10, 5), dtype=bool),
+            np.zeros((10, 5), dtype=bool),
+        )
+    return IS_VAR, IS_MULTI
+
+
 # fixed-stride LUT blobs for the native formatter (shared source of truth
 # with the Python fallback loop)
 def _lut_blob(entries, stride):
@@ -704,7 +725,9 @@ class VectorBlockEmitter:
             self._nacc_tried = True
             from bs_call_tpu.stats.native_acc import NativeStatsAcc
 
-            self._nacc = NativeStatsAcc.create()
+            self._nacc = NativeStatsAcc.create(
+                quirks=self.cfg.reference_quirks
+            )
         if self._nacc is not None:
             self._nacc.accumulate(
                 self, ctg, soa, pos, reach, idx, g, r, rf7, phred, qd,
@@ -750,8 +773,9 @@ class VectorBlockEmitter:
         dp = dp1 + d_inf
         het = GT_HET_A[g]
         flt_full = flt | np.where(mac1, 128, 0)
-        is_var = IS_VAR[g, r]
-        is_multi = IS_MULTI[g, r] & is_var
+        vg, mg_ = variant_gate_luts(self.cfg.reference_quirks)
+        is_var = vg[g, r]
+        is_multi = mg_[g, r] & is_var
         is_snp = is_var & ~is_multi
         passed = flt_full == 0
 

@@ -438,7 +438,7 @@ def process_contig_blocks_native(
             if stats is not None:
                 from bs_call_tpu.stats.native_acc import NativeStatsAcc
 
-                acc = NativeStatsAcc.create()
+                acc = NativeStatsAcc.create(quirks=cfg.reference_quirks)
                 if acc is None:  # BS_CALL_PY_STATS or no native lib
                     raise RuntimeError("native stats acc unavailable")
             from bs_call_tpu.native.rowengine import HostRowEngine

@@ -38,7 +38,7 @@ class NativeStatsAcc:
     native library is unavailable or BS_CALL_PY_STATS is set)."""
 
     @classmethod
-    def create(cls):
+    def create(cls, quirks=True):
         if os.environ.get("BS_CALL_PY_STATS"):
             return None
         try:
@@ -47,20 +47,21 @@ class NativeStatsAcc:
             lib = load()
             if lib is None or not hasattr(lib, "bsc_stats_acc_new"):
                 return None
-            return cls(lib)
+            return cls(lib, quirks=quirks)
         except Exception:
             return None
 
-    def __init__(self, lib):
+    def __init__(self, lib, quirks=True):
         from bs_call_tpu.constants import logp_table
         from bs_call_tpu.output.vector_site import (
-            GT_HET_A, IS_MULTI, IS_VAR, MUT_A,
+            GT_HET_A, MUT_A, variant_gate_luts,
         )
 
         self._lib = lib
+        is_var, is_multi = variant_gate_luts(quirks)
         het = np.ascontiguousarray(GT_HET_A, dtype=np.uint8)
-        isvar = np.ascontiguousarray(IS_VAR, dtype=np.uint8)
-        ismulti = np.ascontiguousarray(IS_MULTI, dtype=np.uint8)
+        isvar = np.ascontiguousarray(is_var, dtype=np.uint8)
+        ismulti = np.ascontiguousarray(is_multi, dtype=np.uint8)
         mut = np.ascontiguousarray(MUT_A, dtype=np.int32)
         plus = np.zeros(10, dtype=np.uint8)
         plus[[1, 4, 6]] = 1  # CS_STR == '+' genotypes

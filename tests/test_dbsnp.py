@@ -26,7 +26,7 @@ def test_roundtrip_bed(tmp_path):
     assert idx.header_line == "name=test"
     assert set(idx.contigs) == {"chr1", "chr2"}
     c1 = idx.load_contig("chr1")
-    assert c1.lookup(14) == (1, "rs123")
+    assert c1.lookup(14) == (1, "rs123\x00")
     assert c1.lookup(100) == (1, "rs4567")
     assert c1.lookup(101) == (1, "rs89")
     assert c1.lookup(15) == (0, "")
@@ -43,7 +43,7 @@ def test_roundtrip_odd_digits_and_selection(tmp_path):
     b.write(str(p))
     idx = DbSnpIndex(str(p))
     c = idx.load_contig("chr1")
-    assert c.lookup(5) == (3, "rs1")   # maf-selected -> res 3
+    assert c.lookup(5) == (3, "rs1\x00")   # maf-selected -> res 3
     assert c.lookup(9) == (1, "rs22")
 
 
@@ -58,7 +58,7 @@ def test_select_list_and_aliases(tmp_path):
     idx = DbSnpIndex(str(p))
     assert list(idx.contigs) == ["chr1"]
     c = idx.load_contig("chr1")
-    assert c.lookup(5) == (3, "rs7")
+    assert c.lookup(5) == (3, "rs7\x00")
 
 
 def test_bed_vcf_json_parsing(tmp_path):
@@ -126,7 +126,7 @@ def test_bed_vcf_json_parsing(tmp_path):
     p = tmp_path / "j.bin"
     b3.write(str(p))
     c = DbSnpIndex(str(p)).load_contig("chr1")
-    assert c.lookup(13) == (3, "rs999")  # maf 0.3 >= 0.2 -> selected
+    assert c.lookup(13) == (3, "rs999\x00")  # maf 0.3 >= 0.2 -> selected
 
 
 def test_e2e_annotation(tmp_path):
@@ -201,8 +201,8 @@ def test_idx_cli_compressed_inputs(tmp_path):
         out = str(tmp_path / (name + ".idx"))
         assert idx_main([str(p), "-o", out]) == 0
         ctg = DbSnpIndex(out).load_contig("chr1")
-        assert ctg.lookup(100) == (1, "rs100")
-        assert ctg.lookup(200) == (1, "rs200")
+        assert ctg.lookup(100) == (1, "rs100\x00")
+        assert ctg.lookup(200) == (1, "rs200\x00")
 
 
 def test_idx_parallel_byte_identical(tmp_path):

@@ -1,0 +1,205 @@
+"""Extended byte-parity matrix against the compiled reference binary.
+
+VERDICT r03 items 4+5: the round-3 suite diffed only default, -A and
+per-contig runs against the real binary; every other flag was pinned
+only to the in-repo transcription. This module parametrizes the flag
+matrix (trims, thresholds, duplicate handling, conversion rates,
+reference bias, haploid) plus the JSON report and the dbSNP round trip
+through the REAL compiled reference (tools/htslib_shim build).
+
+Known divergence (excluded below, documented in README.md): the
+reference's filterStats.ReadLevel.Passed.Reads counts phantom empty
+read-ends — its align-object pool keeps recycled read vectors non-NULL
+(al_utils.c:55-62), the mate-pairing path swaps read-vector identities
+between aligns (get_template_vector.c:231-238), and process_template.c
+:50-62 then counts any non-NULL (even empty, zero-base) vector as a
+passed read. The count depends on pool recycling order, i.e. on the
+allocator history, not the data; we count actual read-ends.
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_reference_binary import (  # noqa: F401  (fixture reuse)
+    _fixture,
+    _run_c,
+    _run_py,
+    ref_binary,
+)
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def matrix_fixture(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("refmatrix")
+    ref, bam, n = _fixture(tmp, n_reads=2500, ctg_len=40_000)
+    return tmp, ref, bam
+
+
+FLAG_CASES = [
+    pytest.param(["-L", "5,3"], id="left-trim-asym"),
+    pytest.param(["-R", "4,6"], id="right-trim-asym"),
+    pytest.param(["-L", "2,2", "-R", "3,1", "-B"], id="blank-trim"),
+    pytest.param(["-q", "0"], id="mapq0"),
+    pytest.param(["-q", "40"], id="mapq40"),
+    pytest.param(["-Q", "13"], id="bq13"),
+    pytest.param(["-k"], id="keep-unmatched"),
+    pytest.param(["-d"], id="keep-duplicates"),
+    pytest.param(["--ignore-duplicates"], id="ignore-duplicates"),
+    pytest.param(["-c", "0.002,0.02"], id="conversion"),
+    pytest.param(["--reference-bias", "1"], id="refbias1"),
+    pytest.param(["--reference-bias", "5.5"], id="refbias5.5"),
+    pytest.param(["-1"], id="haploid"),
+    pytest.param(["-l", "300"], id="max-template-300"),
+    pytest.param(["-A", "-q", "10", "-Q", "26"], id="all-pos-thresholds"),
+]
+
+
+@pytest.mark.parametrize("flags", FLAG_CASES)
+def test_flag_matrix_byte_identity(ref_binary, matrix_fixture, flags):
+    tmp, ref, bam = matrix_fixture
+    tag = "".join(c if c.isalnum() else "_" for c in "".join(flags))
+    c_out = tmp / f"c_{tag}.vcf"
+    p_out = tmp / f"p_{tag}.vcf"
+    _run_c(ref_binary, bam, ref, c_out, list(flags))
+    _run_py(bam, ref, p_out, list(flags))
+    assert c_out.read_bytes() == p_out.read_bytes()
+
+
+def _strip_known_divergences(report_text):
+    rep = json.loads(report_text)
+    rep.pop("date", None)
+    rl = rep.get("filterStats", {}).get("ReadLevel", {})
+    if "Passed" in rl:
+        # phantom empty read-ends: pool-history-dependent in the
+        # reference (see module docstring)
+        rl["Passed"].pop("Reads", None)
+    return rep
+
+
+def test_report_identity(ref_binary, matrix_fixture):
+    """Full JSON report equality vs the compiled reference, modulo the
+    documented Passed.Reads pool artifact. Covers filterStats,
+    totalStats (incl. the advanced-alt SNPS quirk), QC distributions,
+    coverage maps, quality hists, mutation spectrum, methylation grids
+    and NonCpGreadProfile (stats.c:19-298)."""
+    tmp, ref, bam = matrix_fixture
+    _run_c(ref_binary, bam, ref, tmp / "cr.vcf",
+           ["--report-file", str(tmp / "cr.json")])
+    _run_py(bam, ref, tmp / "pr.vcf",
+            ["--report-file", str(tmp / "pr.json")])
+    assert (tmp / "cr.vcf").read_bytes() == (tmp / "pr.vcf").read_bytes()
+    c = _strip_known_divergences((tmp / "cr.json").read_text())
+    p = _strip_known_divergences((tmp / "pr.json").read_text())
+    assert c == p
+
+
+def test_report_identity_all_positions(ref_binary, matrix_fixture):
+    """-A exercises the SNPS quirk on hom-ref rows too: the reference
+    counts EVERY emitted row as a SNP (print_vcf.c:400 reads alt's NUL
+    terminator after :177-181 advanced it)."""
+    tmp, ref, bam = matrix_fixture
+    _run_c(ref_binary, bam, ref, tmp / "cra.vcf",
+           ["-A", "--report-file", str(tmp / "cra.json")])
+    _run_py(bam, ref, tmp / "pra.vcf",
+            ["-A", "--report-file", str(tmp / "pra.json")])
+    c = _strip_known_divergences((tmp / "cra.json").read_text())
+    p = _strip_known_divergences((tmp / "pra.json").read_text())
+    assert c == p
+    # and the quirk itself: SNPS.All == number of emitted records
+    rows = sum(
+        1 for ln in (tmp / "cra.vcf").read_bytes().splitlines()
+        if ln and not ln.startswith(b"#")
+    )
+    assert c["totalStats"]["SNPS"]["All"] == rows
+    assert c["totalStats"]["Multiallelic"]["All"] == 0
+
+
+# ---- dbSNP round trip through both binaries (VERDICT item 5) ----
+
+
+@pytest.fixture(scope="module")
+def dbsnp_inputs(matrix_fixture):
+    tmp, ref, bam = matrix_fixture
+    bed = tmp / "snps.bed"
+    with open(bed, "w") as f:
+        f.write("track name=testdb\n")
+        for pos in range(100, 39_000, 97):
+            # 5 columns: the reference's parse_bed_line requires
+            # n_tok > 4 (dbSNP_input.c:122) — 4-column BEDs are
+            # silently ignored by the real binary
+            f.write(f"chr1\t{pos}\t{pos + 1}\trs{pos * 3 + 1}\t0\n")
+    return tmp, ref, bam, bed
+
+
+def _ref_idx_binary(ref_binary):
+    cand = ref_binary.parent / "dbSNP_idx"
+    if not cand.exists():
+        pytest.skip("reference dbSNP_idx not built")
+    return cand
+
+
+def test_dbsnp_index_byte_identity(ref_binary, dbsnp_inputs):
+    """Our dbsnp_idx and the reference's dbSNP_idx produce the SAME
+    index bytes from the same BED (the format has no timestamps:
+    dbSNP_output.c:139-182)."""
+    tmp, ref, bam, bed = dbsnp_inputs
+    idx_bin = _ref_idx_binary(ref_binary)
+    ours = tmp / "ours.idx"
+    theirs = tmp / "theirs.idx"
+    r = subprocess.run(
+        [sys.executable, "-m", "bs_call_tpu.io.dbsnp_idx",
+         "-o", str(ours), str(bed)],
+        capture_output=True, cwd=str(REPO),
+        env={**os.environ, "PYTHONPATH": os.pathsep.join(
+            p for p in (str(REPO), os.environ.get("PYTHONPATH")) if p
+        )},
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(
+        [str(idx_bin), "-o", str(theirs), str(bed)],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert ours.read_bytes() == theirs.read_bytes()
+
+
+def test_dbsnp_cross_binary_calls(ref_binary, dbsnp_inputs):
+    """4-way -D identity: {our caller, reference caller} x {our index,
+    reference index} all emit the same bytes (rs names in ID, the
+    dbSNP AA/TT emission gate print_vcf.c:133-139, dbSNP.c:306-350)."""
+    tmp, ref, bam, bed = dbsnp_inputs
+    idx_bin = _ref_idx_binary(ref_binary)
+    ours = tmp / "ours2.idx"
+    theirs = tmp / "theirs2.idx"
+    env = {**os.environ, "PYTHONPATH": os.pathsep.join(
+        p for p in (str(REPO), os.environ.get("PYTHONPATH")) if p
+    )}
+    subprocess.run(
+        [sys.executable, "-m", "bs_call_tpu.io.dbsnp_idx", "-o",
+         str(ours), str(bed)],
+        check=True, capture_output=True, cwd=str(REPO), env=env,
+    )
+    subprocess.run(
+        [str(idx_bin), "-o", str(theirs), str(bed)],
+        check=True, capture_output=True,
+    )
+    outs = {}
+    for idx_name, idx in (("ours", ours), ("theirs", theirs)):
+        c_out = tmp / f"c_{idx_name}.vcf"
+        p_out = tmp / f"p_{idx_name}.vcf"
+        _run_c(ref_binary, bam, ref, c_out, ["-D", str(idx)])
+        _run_py(bam, ref, p_out, ["-D", str(idx)])
+        outs[f"c_{idx_name}"] = c_out.read_bytes()
+        outs[f"p_{idx_name}"] = p_out.read_bytes()
+    assert len(set(outs.values())) == 1, {
+        k: len(v) for k, v in outs.items()
+    }
+    # rs names actually landed in the output
+    assert b"\trs" in outs["c_ours"]
