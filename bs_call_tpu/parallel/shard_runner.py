@@ -25,6 +25,79 @@ from typing import List, Optional, Tuple
 from bs_call_tpu.config import CallerConfig
 
 
+def _spawn_executor(n: int):
+    """ProcessPoolExecutor over a spawn context (forking after JAX/TPU
+    backend initialization deadlocks). Children spawn with PYTHONPATH
+    unset and the jax platform pinned to cpu: PYTHONPATH's only
+    interpreter-startup job is sitecustomize (e.g. an accelerator-plugin
+    preimport costing ~0.6s per process that cpu-pinned workers never
+    use), while module RESOLUTION is unaffected — multiprocessing ships
+    the parent's sys.path to spawned children in its preparation data."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    ctx = mp.get_context("spawn")
+    saved = {
+        k: os.environ.get(k) for k in ("PYTHONPATH", "JAX_PLATFORMS")
+    }
+    os.environ.pop("PYTHONPATH", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        return ProcessPoolExecutor(max_workers=n, mp_context=ctx)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def _run_jobs_with_retry(jobs, max_retries: int = 1):
+    """Run shard jobs, re-running any failed shard once before giving
+    up — the analogue of re-running a crashed per-contig process in the
+    reference's external workflow (SURVEY §5 failure detection: the
+    contig shard is the restart/recovery unit). A worker that dies
+    (OOM-kill, segfault) surfaces as BrokenProcessPool from its future;
+    a Python-level error surfaces as that future's exception. Either
+    way only the affected shards re-run, in a fresh executor since a
+    broken pool is unusable. Raises the final error when a shard fails
+    max_retries+1 times."""
+    from concurrent.futures import BrokenExecutor
+
+    results: dict = {}
+    pending = list(range(len(jobs)))
+    for attempt in range(max_retries + 1):
+        ex = _spawn_executor(len(pending))
+        futures = {i: ex.submit(_worker, jobs[i]) for i in pending}
+        failed = []
+        last_err = None
+        for i, fut in futures.items():
+            try:
+                results[i] = fut.result()
+            except Exception as e:  # incl. BrokenExecutor
+                failed.append(i)
+                last_err = e
+        # a broken executor cannot be shut down cleanly on some
+        # platforms; guard the shutdown itself
+        try:
+            ex.shutdown(wait=True, cancel_futures=True)
+        except BrokenExecutor:
+            pass
+        if not failed:
+            return [results[i] for i in range(len(jobs))]
+        if attempt >= max_retries:
+            raise RuntimeError(
+                f"shards {failed} failed after {attempt + 1} attempts"
+            ) from last_err
+        import sys as _sys
+
+        print(
+            f"bs_call: retrying failed shard(s) {failed}: {last_err}",
+            file=_sys.stderr,
+        )
+        pending = failed
+    raise AssertionError("unreachable")
+
+
 def _scratch_dir() -> Optional[str]:
     """Directory for shard partial outputs. Concurrent workers each
     stream out a contig-sized VCF; on disk-backed tmp those writes
@@ -86,6 +159,17 @@ def _worker(args):
             pass
     else:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    crash_dir = os.environ.get("BS_CALL_TEST_SHARD_CRASH")
+    if crash_dir:
+        # fault-injection hook (tests/test_shard_runner.py): die hard —
+        # as an OOM-kill would — the FIRST time this shard runs
+        marker = os.path.join(
+            crash_dir, os.path.basename(out_path) + ".crashed"
+        )
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("x")
+            os._exit(137)
     cfg = CallerConfig(**cfg_dict)
     if cfg.device == "tpu":
         cfg.device = "auto"  # no accelerator inside shard workers
@@ -216,30 +300,7 @@ def run_sharded(
         jobs.append((dict(cfg_dict), shard, sizes_path, out_path,
                      collect_stats, cpu_ids))
     if pool is None:
-        # spawn: forking after JAX/TPU backend initialization deadlocks.
-        # Children spawn with PYTHONPATH unset and the jax platform
-        # pinned to cpu: PYTHONPATH's only interpreter-startup job is
-        # sitecustomize (e.g. an accelerator-plugin preimport costing
-        # ~0.6s per process that cpu-pinned workers never use), while
-        # module RESOLUTION is unaffected — multiprocessing ships the
-        # parent's sys.path to spawned children in its preparation data.
-        ctx = mp.get_context("spawn")
-        saved = {
-            k: os.environ.get(k)
-            for k in ("PYTHONPATH", "JAX_PLATFORMS")
-        }
-        os.environ.pop("PYTHONPATH", None)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        try:
-            p = ctx.Pool(len(jobs))
-        finally:
-            for k, v in saved.items():
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
-        with p:
-            results = p.map(_worker, jobs)
+        results = _run_jobs_with_retry(jobs)
     else:
         results = pool.map(_worker, jobs)
     # merge stats

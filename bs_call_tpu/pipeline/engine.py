@@ -242,9 +242,9 @@ class CallEngine:
         # float behavior (guard-banded risk bits + host rescue, plus
         # the quals/lag-code/margin compares). BS_CALL_EMIT_TIER=0
         # opts out (fused tier without device emit fields).
-        import os as _os
+        from bs_call_tpu.utils import env_flag
 
-        self._emit_tier = _os.environ.get("BS_CALL_EMIT_TIER", "") != "0"
+        self._emit_tier = env_flag("BS_CALL_EMIT_TIER", default=True)
         self._emit_fns = {}  # (n_pos, r_pad, l_cap) -> sharded emit fn
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process

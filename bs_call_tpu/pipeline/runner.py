@@ -420,12 +420,12 @@ def process_contig_blocks_native(
     # resolving only likelihood ties through the scalar oracle. Blocks
     # the engine can't take (sz < 9) fall through to the regular path;
     # output bytes are identical either way (tests/test_rowengine.py).
-    import os as _os
+    from bs_call_tpu.utils import env_flag as _env_flag
 
     rowe = None
     ve = getattr(emitter, "vector", None)
     if (
-        _os.environ.get("BS_CALL_ROW_ENGINE", "1") != "0"
+        _env_flag("BS_CALL_ROW_ENGINE", default=True)
         and ve is not None
         and ve._bcf is None
         and getattr(emitter, "dbsnp", None) is None

@@ -143,3 +143,53 @@ def test_sharded_compressed_outputs_match_single(tmp_path):
             assert a == b
         else:
             assert gzip.decompress(a) == gzip.decompress(b)
+
+
+def test_failed_shard_retries_once(tmp_path, monkeypatch):
+    """Kill-a-worker fault injection: the first attempt of every shard
+    os._exit(137)s (the BS_CALL_TEST_SHARD_CRASH hook), the retry pass
+    re-runs them, and the final output is identical to a clean run —
+    the reference's external re-run-a-contig recovery unit made
+    automatic (SURVEY §5 failure detection)."""
+    ref, bam = make_fixture(tmp_path)
+    cfg = CallerConfig(
+        input_file=bam, reference_file=ref, benchmark_mode=True,
+        device="numpy",
+    )
+    clean = str(tmp_path / "clean.vcf")
+    run_sharded(cfg, 2, clean, collect_stats=False)
+
+    crash_dir = tmp_path / "crash"
+    crash_dir.mkdir()
+    monkeypatch.setenv("BS_CALL_TEST_SHARD_CRASH", str(crash_dir))
+    retried = str(tmp_path / "retried.vcf")
+    run_sharded(cfg, 2, retried, collect_stats=False)
+    # every shard crashed exactly once
+    assert len(list(crash_dir.iterdir())) >= 1
+    assert open(clean, "rb").read() == open(retried, "rb").read()
+
+
+def test_failed_shard_gives_up_after_retry(tmp_path, monkeypatch):
+    """A shard that keeps dying fails the run with a clear error."""
+    from bs_call_tpu.parallel.shard_runner import _run_jobs_with_retry
+
+    ref, bam = make_fixture(tmp_path)
+    cfg = CallerConfig(
+        input_file=bam, reference_file=ref, benchmark_mode=True,
+        device="numpy",
+    )
+    crash_dir = tmp_path / "crash2"
+    crash_dir.mkdir()
+    monkeypatch.setenv("BS_CALL_TEST_SHARD_CRASH", str(crash_dir))
+    # max_retries=0: the injected first-attempt crash is fatal
+    import pytest as _pytest
+
+    cfg_dict = {
+        k: getattr(cfg, k) for k in CallerConfig.__dataclass_fields__
+    }
+    sizes = tmp_path / "sizes.txt"
+    sizes.write_text("chr1\t4000\n")
+    job = (cfg_dict, ["chr1"], str(sizes), str(tmp_path / "s0.vcf"),
+           False, None)
+    with _pytest.raises(RuntimeError, match="failed after 1 attempts"):
+        _run_jobs_with_retry([job], max_retries=0)
