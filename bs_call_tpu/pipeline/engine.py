@@ -246,6 +246,13 @@ class CallEngine:
 
         self._emit_tier = env_flag("BS_CALL_EMIT_TIER", default=True)
         self._emit_fns = {}  # (n_pos, r_pad, l_cap) -> sharded emit fn
+        # forced --device tpu throughput watchdog (VERDICT r03 item 3)
+        self._forced_bailed = False  # degraded to host for the rest
+        self._forced_strict = None  # resolved at first device sample
+        self._forced_calls = 0  # device calls seen (first = compile)
+        self._forced_dev_t = 0.0  # accumulated device wall seconds
+        self._forced_dev_n = 0  # positions through the device path
+        self._forced_host_rate = None  # measured host-f64 positions/s
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
         self._probe_file = None  # the child's result file
@@ -313,11 +320,24 @@ class CallEngine:
             # (default; NumPy fallback). Both land within ~1e-9 of
             # float64, below the scalar-oracle tie threshold.
             res = None
-            use_dd = self.cfg.device == "tpu" or (
+            use_dd = (
+                self.cfg.device == "tpu" and not self._forced_bailed
+            ) or (
                 self.cfg.device == "auto" and self._auto_engine(n) == "dd"
             )
             if use_dd and self._jax is not None:
-                res = self._call_dd(counts, quals, ref)
+                if self.cfg.device == "tpu":
+                    import time as _time
+
+                    t0 = _time.perf_counter()
+                    res = self._call_dd(counts, quals, ref)
+                    if res is not None:
+                        self._forced_feed(
+                            _time.perf_counter() - t0, len(ref),
+                            counts, quals, ref,
+                        )
+                else:
+                    res = self._call_dd(counts, quals, ref)
             if res is None and self._prefer_xla_f64():
                 res = self._call_f64_cpu(counts, quals, ref)
             if res is None:
@@ -404,7 +424,7 @@ class CallEngine:
         if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return self._jax is not None
+            return self._jax is not None and not self._forced_bailed
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -617,7 +637,7 @@ class CallEngine:
         if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return self._jax is not None
+            return self._jax is not None and not self._forced_bailed
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -684,6 +704,79 @@ class CallEngine:
         except Exception:
             self._exact_engine = "f64"
         return self._exact_engine == "fused"
+
+    def _forced_feed(self, dt, n_pos, counts, quals, ref):
+        """Forced --device tpu throughput watchdog (VERDICT r03 item 3).
+
+        The user forced the accelerator, but over a tunneled/remote
+        chip per-chunk transfers can make the device path hundreds of
+        times slower than the host engines (387 reads/s vs 107k
+        observed in BENCH_r03) — indistinguishable from a hang on real
+        inputs. Accumulate realized device wall time past the compile
+        call; once the device path has demonstrably sustained < 1/2
+        the measured host-f64 rate, degrade the REST of the run to the
+        host engines with a stderr warning. Output bytes are unchanged
+        (every exact tier lands below the oracle tie threshold, same
+        guarantee as the auto race). BS_CALL_DEVICE_STRICT=1 keeps
+        forcing regardless; a CPU default backend never bails (the
+        "device" IS the host there — nothing faster to degrade to).
+        """
+        if self._forced_bailed or self._forced_strict:
+            return
+        self._forced_calls += 1
+        if self._forced_calls == 1:
+            # first device call carries the XLA compile; also resolve
+            # strictness here, AFTER a device call proved the backend
+            # is alive (jax.default_backend() inits backends — unsafe
+            # to poke before the engine has touched the device)
+            try:
+                from bs_call_tpu.utils import env_flag
+
+                jax = self._jax[0]
+                self._forced_strict = (
+                    env_flag("BS_CALL_DEVICE_STRICT")
+                    or jax.default_backend() == "cpu"
+                )
+            except Exception:
+                self._forced_strict = True
+            return
+        self._forced_dev_t += dt
+        self._forced_dev_n += n_pos
+        if self._forced_dev_t < 2.0 and self._forced_dev_n < 4 * max(
+            self.cfg.batch_positions, 1024
+        ):
+            return  # not enough signal yet
+        dev_rate = self._forced_dev_n / max(self._forced_dev_t, 1e-9)
+        if self._forced_host_rate is None:
+            import time as _time
+
+            m = min(len(ref), 4096)
+            # warm call first: the native library may compile on first
+            # use (~15 s of g++) — that must not pollute the host floor
+            if self._call_native_f64(counts[:1], quals[:1], ref[:1]) is None:
+                self._forced_strict = True
+                return
+            t0 = _time.perf_counter()
+            r = self._call_native_f64(counts[:m], quals[:m], ref[:m])
+            th = _time.perf_counter() - t0
+            if r is None or th <= 0:
+                self._forced_strict = True  # no host floor to compare
+                return
+            self._forced_host_rate = m / th
+        if dev_rate < 0.5 * self._forced_host_rate:
+            self._forced_bailed = True
+            import sys as _sys
+
+            msg = (
+                "bs_call: --device tpu sustained "
+                f"{dev_rate:.0f} positions/s vs {self._forced_host_rate:.0f} "
+                "on the host f64 engine (slow accelerator link?); "
+                "degrading the rest of the run to the host engines "
+                "(bytes unchanged). Set BS_CALL_DEVICE_STRICT=1 to "
+                "keep forcing the device."
+            )
+            print(msg, file=_sys.stderr)
+            self._trace_decision(msg)
 
     def _mesh_kernel(self, kind, backend):
         """(mesh, jitted sharded kernel) for the active backend, or None
@@ -1222,9 +1315,23 @@ class CallEngine:
                 if self._fused_gate(
                     rd_dict, lo, hi, ref_codes, agg, covered
                 ):
-                    res = self._call_fused(
-                        rd_dict, lo, hi, ref_codes, agg, covered
-                    )
+                    if self.cfg.device == "tpu":
+                        import time as _time
+
+                        t0 = _time.perf_counter()
+                        res = self._call_fused(
+                            rd_dict, lo, hi, ref_codes, agg, covered
+                        )
+                        if res is not None:
+                            self._forced_feed(
+                                _time.perf_counter() - t0,
+                                len(covered), ccounts.astype(np.int32),
+                                cquals, cref,
+                            )
+                    else:
+                        res = self._call_fused(
+                            rd_dict, lo, hi, ref_codes, agg, covered
+                        )
                     if res is not None:
                         prep = res[4]
                         res = self._finish_exact(
