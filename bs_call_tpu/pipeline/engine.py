@@ -59,6 +59,11 @@ for a in h2d:
     jax.device_put(a, accel[0]).block_until_ready()
 np.asarray(d2h)
 out.write("rt %r\\n" % (time.perf_counter() - t0))
+f = jax.jit(lambda x: (x @ x).sum())
+t0 = time.perf_counter()
+f(jax.device_put(np.zeros((256, 256), np.float32), accel[0])
+  ).block_until_ready()
+out.write("jit %r\\n" % (time.perf_counter() - t0))
 """
 
 
@@ -246,13 +251,19 @@ class CallEngine:
 
         self._emit_tier = env_flag("BS_CALL_EMIT_TIER", default=True)
         self._emit_fns = {}  # (n_pos, r_pad, l_cap) -> sharded emit fn
-        # forced --device tpu throughput watchdog (VERDICT r03 item 3)
+        # forced --device tpu throughput watchdog (VERDICT r03 item 3;
+        # reworked r05 per ADVICE r04: per-kernel/shape compile
+        # exemption + trailing window + compile-time budget + bounded
+        # first touch via _forced_device_ok)
         self._forced_bailed = False  # degraded to host for the rest
         self._forced_strict = None  # resolved at first device sample
         self._forced_calls = 0  # device calls seen (first = compile)
-        self._forced_dev_t = 0.0  # accumulated device wall seconds
-        self._forced_dev_n = 0  # positions through the device path
+        self._forced_keys = set()  # kernel/shape keys already compiled
+        self._forced_compile_t = 0.0  # wall seconds spent in compiles
+        self._forced_window = []  # trailing (dt, n_pos) steady samples
         self._forced_host_rate = None  # measured host-f64 positions/s
+        self._forced_ok = None  # first-touch gate verdict (cached)
+        self._last_fused_key = None  # (kernel, shape) of last fused call
         self._probe_rt = _UNSET  # accelerator transfer probe (cached)
         self._probe_proc = _UNSET  # background probe child process
         self._probe_file = None  # the child's result file
@@ -327,15 +338,16 @@ class CallEngine:
             )
             if use_dd and self._jax is not None:
                 if self.cfg.device == "tpu":
-                    import time as _time
+                    if self._forced_device_ok():
+                        import time as _time
 
-                    t0 = _time.perf_counter()
-                    res = self._call_dd(counts, quals, ref)
-                    if res is not None:
-                        self._forced_feed(
-                            _time.perf_counter() - t0, len(ref),
-                            counts, quals, ref,
-                        )
+                        t0 = _time.perf_counter()
+                        res = self._call_dd(counts, quals, ref)
+                        if res is not None:
+                            self._forced_feed(
+                                _time.perf_counter() - t0, len(ref),
+                                counts, quals, ref, key="dd",
+                            )
                 else:
                     res = self._call_dd(counts, quals, ref)
             if res is None and self._prefer_xla_f64():
@@ -357,10 +369,36 @@ class CallEngine:
             res = None
             if not self._fast_broken:
                 try:
-                    res = self._chunked_call(
-                        counts, quals, ref, jnp.float32,
-                        backend=self._fast_backend(),
-                    )
+                    if self.cfg.device == "tpu":
+                        # forced non-exact path: same first-touch gate
+                        # and watchdog as exact mode (ADVICE r04) — a
+                        # slow accelerator link crawls here too
+                        if self._forced_bailed or not (
+                            self._forced_device_ok()
+                        ):
+                            res = self._chunked_call(
+                                counts, quals, ref, jnp.float32,
+                                backend="cpu",
+                            )
+                        else:
+                            import time as _time
+
+                            t0 = _time.perf_counter()
+                            res = self._chunked_call(
+                                counts, quals, ref, jnp.float32,
+                                backend=None,
+                            )
+                            if res is not None:
+                                self._forced_feed(
+                                    _time.perf_counter() - t0,
+                                    len(ref), counts, quals, ref,
+                                    key="f32",
+                                )
+                    else:
+                        res = self._chunked_call(
+                            counts, quals, ref, jnp.float32,
+                            backend=self._fast_backend(),
+                        )
                 except Exception:
                     # default backend unusable (e.g. accelerator plugin
                     # fails to initialize): degrade to the host engines
@@ -424,7 +462,11 @@ class CallEngine:
         if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return self._jax is not None and not self._forced_bailed
+            return (
+                self._jax is not None
+                and not self._forced_bailed
+                and self._forced_device_ok()
+            )
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -559,6 +601,12 @@ class CallEngine:
                 return None
             ref_pad = np.zeros(n_pos, np.int32)
             ref_pad[:sz] = np.asarray(ref_codes, dtype=np.int32)
+            # each padded shape compiles its own XLA program (emit tier
+            # included): the forced watchdog exempts the first call per
+            # key from its throughput estimate (ADVICE r04)
+            self._last_fused_key = (
+                "fused", n_pos, r_pad, l_cap, bool(self._emit_tier)
+            )
             mesh, fn = self._fused_fn(n_pos, r_pad, l_cap)
             fields = None
             if mesh is not None:
@@ -637,7 +685,11 @@ class CallEngine:
         if not cfg.exact or self._fused_broken:
             return False
         if cfg.device == "tpu":
-            return self._jax is not None and not self._forced_bailed
+            return (
+                self._jax is not None
+                and not self._forced_bailed
+                and self._forced_device_ok()
+            )
         if cfg.device != "auto":
             return False
         if self._exact_engine is not None:
@@ -705,30 +757,41 @@ class CallEngine:
             self._exact_engine = "f64"
         return self._exact_engine == "fused"
 
-    def _forced_feed(self, dt, n_pos, counts, quals, ref):
+    def _forced_feed(self, dt, n_pos, counts, quals, ref, key=None):
         """Forced --device tpu throughput watchdog (VERDICT r03 item 3).
 
         The user forced the accelerator, but over a tunneled/remote
         chip per-chunk transfers can make the device path hundreds of
         times slower than the host engines (387 reads/s vs 107k
         observed in BENCH_r03) — indistinguishable from a hang on real
-        inputs. Accumulate realized device wall time past the compile
-        call; once the device path has demonstrably sustained < 1/2
+        inputs. Once the device path has demonstrably sustained < 1/2
         the measured host-f64 rate, degrade the REST of the run to the
         host engines with a stderr warning. Output bytes are unchanged
         (every exact tier lands below the oracle tie threshold, same
         guarantee as the auto race). BS_CALL_DEVICE_STRICT=1 keeps
         forcing regardless; a CPU default backend never bails (the
         "device" IS the host there — nothing faster to degrade to).
+
+        Compile accounting (ADVICE r04): every NEW (kernel, shape) key
+        compiles a fresh XLA program — the fused/emit tiers compile one
+        per (n_pos, r_pad, l_cap), and r_pad varies per chunk — so the
+        first sample of each key is excluded from the throughput
+        estimate (it measures the compiler, not the device). Steady
+        samples go into a bounded trailing window whose largest sample
+        is discarded, so one stray pause can never permanently bail a
+        healthy run. Compile time is still bounded: when cumulative
+        compile wall time alone exceeds BS_CALL_DEVICE_COMPILE_BUDGET
+        (default 150 s — the observed 600 s bench timeouts were exactly
+        serial per-shape compiles over a wedged tunnel), the run bails
+        to the host engines.
         """
         if self._forced_bailed or self._forced_strict:
             return
         self._forced_calls += 1
         if self._forced_calls == 1:
-            # first device call carries the XLA compile; also resolve
-            # strictness here, AFTER a device call proved the backend
-            # is alive (jax.default_backend() inits backends — unsafe
-            # to poke before the engine has touched the device)
+            # resolve strictness at the first sample, AFTER a device
+            # call proved the backend is alive (jax.default_backend()
+            # inits backends — unsafe before the engine touched it)
             try:
                 from bs_call_tpu.utils import env_flag
 
@@ -739,44 +802,171 @@ class CallEngine:
                 )
             except Exception:
                 self._forced_strict = True
+            if self._forced_strict:
+                return
+        if key not in self._forced_keys:
+            # this key's compile call: exclude from the rate, but bound
+            # the total wall time spent compiling
+            self._forced_keys.add(key)
+            self._forced_compile_t += dt
+            import os as _os
+
+            try:
+                budget = float(
+                    _os.environ.get("BS_CALL_DEVICE_COMPILE_BUDGET", "150")
+                )
+            except ValueError:
+                budget = 150.0
+            if self._forced_compile_t > budget:
+                self._forced_bail(
+                    f"spent {self._forced_compile_t:.0f}s compiling "
+                    f"device programs (budget {budget:.0f}s — slow "
+                    "accelerator link?)"
+                )
             return
-        self._forced_dev_t += dt
-        self._forced_dev_n += n_pos
-        if self._forced_dev_t < 2.0 and self._forced_dev_n < 4 * max(
-            self.cfg.batch_positions, 1024
-        ):
+        self._forced_window.append((float(dt), int(n_pos)))
+        if len(self._forced_window) > 32:
+            del self._forced_window[0]
+        samples = self._forced_window
+        if len(samples) >= 3:
+            # discard the largest sample: a stray unexpected compile or
+            # GC pause must not poison the steady-state estimate
+            drop = max(range(len(samples)), key=lambda i: samples[i][0])
+            samples = [s for i, s in enumerate(samples) if i != drop]
+        dev_t = sum(s[0] for s in samples)
+        dev_n = sum(s[1] for s in samples)
+        if dev_t < 2.0 and dev_n < 4 * max(self.cfg.batch_positions, 1024):
             return  # not enough signal yet
-        dev_rate = self._forced_dev_n / max(self._forced_dev_t, 1e-9)
+        if len(samples) < 2 and dev_t < 6.0:
+            return  # never judge on a single (possibly anomalous) sample
+        dev_rate = dev_n / max(dev_t, 1e-9)
         if self._forced_host_rate is None:
             import time as _time
 
             m = min(len(ref), 4096)
             # warm call first: the native library may compile on first
-            # use (~15 s of g++) — that must not pollute the host floor
-            if self._call_native_f64(counts[:1], quals[:1], ref[:1]) is None:
-                self._forced_strict = True
-                return
-            t0 = _time.perf_counter()
-            r = self._call_native_f64(counts[:m], quals[:m], ref[:m])
-            th = _time.perf_counter() - t0
-            if r is None or th <= 0:
+            # use (~15 s of g++) — that must not pollute the host floor.
+            # When the native kernel is unavailable, the XLA f64 CPU
+            # kernel (the very engine a bail degrades to) IS the floor.
+            for floor_fn in (self._call_native_f64, self._call_f64_cpu):
+                if floor_fn(counts[:1], quals[:1], ref[:1]) is None:
+                    continue
+                t0 = _time.perf_counter()
+                r = floor_fn(counts[:m], quals[:m], ref[:m])
+                th = _time.perf_counter() - t0
+                if r is not None and th > 0:
+                    self._forced_host_rate = m / th
+                    break
+            if self._forced_host_rate is None:
                 self._forced_strict = True  # no host floor to compare
                 return
-            self._forced_host_rate = m / th
         if dev_rate < 0.5 * self._forced_host_rate:
-            self._forced_bailed = True
-            import sys as _sys
-
-            msg = (
-                "bs_call: --device tpu sustained "
-                f"{dev_rate:.0f} positions/s vs {self._forced_host_rate:.0f} "
-                "on the host f64 engine (slow accelerator link?); "
-                "degrading the rest of the run to the host engines "
-                "(bytes unchanged). Set BS_CALL_DEVICE_STRICT=1 to "
-                "keep forcing the device."
+            self._forced_bail(
+                f"sustained {dev_rate:.0f} positions/s vs "
+                f"{self._forced_host_rate:.0f} on the host f64 engine "
+                "(slow accelerator link?)"
             )
-            print(msg, file=_sys.stderr)
-            self._trace_decision(msg)
+
+    def _forced_bail(self, why: str) -> None:
+        self._forced_bailed = True
+        import sys as _sys
+
+        msg = (
+            f"bs_call: --device tpu {why}; degrading the rest of the "
+            "run to the host engines (bytes unchanged). Set "
+            "BS_CALL_DEVICE_STRICT=1 to keep forcing the device."
+        )
+        print(msg, file=_sys.stderr)
+        self._trace_decision(msg)
+
+    def _forced_device_ok(self) -> bool:
+        """Bounded first-touch health gate for --device tpu (VERDICT
+        r04 item 3): _forced_feed can only act after a device call
+        RETURNS, so a wedged accelerator runtime hanging the first
+        compile/transfer was unbounded (observed as 600 s bench
+        timeouts). Before the process commits to its first in-process
+        device call, a KILLABLE probe child must prove the device can
+        transfer AND compile+run a jitted program within
+        BS_CALL_DEVICE_PROBE_TIMEOUT (default 120 s). On failure the
+        whole run degrades to the host engines with a warning (bytes
+        unchanged). Short-circuits True when the platform is pinned to
+        cpu (the 'device' is the host — nothing to gate) and under
+        BS_CALL_DEVICE_STRICT=1 (the user accepts hangs)."""
+        if self._forced_ok is not None:
+            return self._forced_ok
+        if self._forced_bailed:
+            self._forced_ok = False
+            return False
+        import os
+        import time
+
+        from bs_call_tpu.utils import env_flag
+
+        if env_flag("BS_CALL_DEVICE_STRICT"):
+            self._forced_ok = True
+            return True
+        plats = [
+            p.strip()
+            for p in os.environ.get("JAX_PLATFORMS", "").split(",")
+            if p.strip()
+        ]
+        if plats and all(p == "cpu" for p in plats):
+            self._forced_ok = True
+            return True
+        try:
+            deadline = float(
+                os.environ.get("BS_CALL_DEVICE_PROBE_TIMEOUT", "120")
+            )
+        except ValueError:
+            deadline = 120.0
+        proc = self._start_probe()
+        if proc is None:
+            # verdict already resolved (disk cache / no accelerator
+            # visible): a finite cached transfer time means the device
+            # answered recently; inf/unknown means it did not
+            rt = self._probe_rt
+            self._forced_ok = rt is None or (
+                rt is not _PROBE_UNKNOWN and rt != float("inf")
+            )
+        else:
+            t_end = time.time() + deadline
+            verdict = None
+            while True:
+                measured, _init, saw_none, jit_t = self._read_probe_file()
+                if saw_none:
+                    # no accelerator devices: the default backend is the
+                    # host cpu — device calls are safe (and strictness
+                    # resolves to 'never bail' at the first sample)
+                    verdict = True
+                    break
+                if jit_t is not None:
+                    verdict = True
+                    if measured is not None:
+                        _probe_cache_write(self._probe_key, measured)
+                    break
+                if proc.poll() is not None:
+                    verdict = False  # crashed / device denied
+                    break
+                if time.time() > t_end:
+                    verdict = False  # hung: kill it from outside
+                    # cache the disqualification (1h TTL) so repeat
+                    # runs on this host skip the bounded wait too
+                    if self._probe_key:
+                        _probe_cache_write(
+                            self._probe_key, float("inf")
+                        )
+                    break
+                time.sleep(0.05)
+            if measured is not None and self._probe_rt is _UNSET:
+                self._probe_rt = measured
+            _probe_cleanup(proc, self._probe_file)
+            self._forced_ok = verdict
+        if not self._forced_ok:
+            self._forced_bail(
+                "accelerator probe could not compile+run a device "
+                f"program within {deadline:.0f}s"
+            )
+        return self._forced_ok
 
     def _mesh_kernel(self, kind, backend):
         """(mesh, jitted sharded kernel) for the active backend, or None
@@ -824,14 +1014,15 @@ class CallEngine:
             t.progress(msg)
 
     def _read_probe_file(self):
-        """(measured_rt | None, init_walltime | None, saw_none)."""
+        """(measured_rt | None, init_walltime | None, saw_none,
+        jit_t | None)."""
         txt = ""
         try:
             with open(self._probe_file) as f:
                 txt = f.read()
         except OSError:
             pass
-        measured = init_t = None
+        measured = init_t = jit_t = None
         saw_none = False
         for line in txt.splitlines():
             try:
@@ -839,11 +1030,13 @@ class CallEngine:
                     measured = float(line[3:])
                 elif line.startswith("init "):
                     init_t = float(line[5:])
+                elif line.startswith("jit "):
+                    jit_t = float(line[4:])
                 elif line.strip() == "none":
                     saw_none = True
             except ValueError:
                 pass
-        return measured, init_t, saw_none
+        return measured, init_t, saw_none, jit_t
 
     def _accel_transfer_time(self, t_f64):
         """Measured H2D+D2H round-trip for one exact-mode chunk's data
@@ -881,7 +1074,7 @@ class CallEngine:
         deadline_init = time.time() + 3.0  # child may still import jax
         verdict = _UNSET
         while verdict is _UNSET:
-            measured, init_t, saw_none = self._read_probe_file()
+            measured, init_t, saw_none, _jit = self._read_probe_file()
             now = time.time()
             if measured is not None:
                 verdict = measured
@@ -1327,6 +1520,9 @@ class CallEngine:
                                 _time.perf_counter() - t0,
                                 len(covered), ccounts.astype(np.int32),
                                 cquals, cref,
+                                key=getattr(
+                                    self, "_last_fused_key", None
+                                ),
                             )
                     else:
                         res = self._call_fused(
