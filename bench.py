@@ -586,6 +586,18 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
     # bench_fused / bench_emit_device) under the full plugin env. A
     # context line below still times one plugin-env run so the delta
     # stays visible in every BENCH file.
+    # Byte-compile the package once so every timed subprocess reads
+    # .pyc instead of re-parsing ~30 modules (~70-100 ms per process;
+    # the session env sets PYTHONDONTWRITEBYTECODE=1, which would
+    # otherwise force the recompile on every run — reading an existing
+    # __pycache__ is unaffected by that flag). The C reference gets its
+    # compile step in _build_reference_binary; this is ours.
+    subprocess.run(
+        [sys.executable, "-m", "compileall", "-q",
+         os.path.join(REPO, "bs_call_tpu")],
+        env={**os.environ, "PYTHONDONTWRITEBYTECODE": ""},
+        capture_output=True,
+    )
     host_env = dict(env)
     host_env.pop("PALLAS_AXON_POOL_IPS", None)
     host_env["JAX_PLATFORMS"] = "cpu"

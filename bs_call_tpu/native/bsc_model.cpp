@@ -79,7 +79,7 @@ inline int clampi(int v, int lo, int hi) {
 void call_range(const GtModel *m, int64_t lo, int64_t hi,
                 const int32_t *counts, const int32_t *quals,
                 const int32_t *ref, double *gt_prob, int32_t *max_gt,
-                double *margin, double *off_sum) {
+                double *margin, double *off_sum, int cstyle) {
     const int qmax = m->nq - 1;
     for (int64_t i = lo; i < hi; i++) {
         const int32_t *cnt = counts + i * 8;
@@ -152,22 +152,39 @@ void call_range(const GtModel *m, int64_t lo, int64_t hi,
         double mval = ll[0];
         for (int g = 1; g < 10; g++)
             if (ll[g] > mval) { mval = ll[g]; mx = g; }
-        double second = -HUGE_VAL, off = 0.0;
+        double second = -HUGE_VAL;
+        for (int g = 0; g < 10; g++)
+            if (g != mx && ll[g] > second) second = ll[g];
+        // off = sum over losers of exp(ll[g]-mval), accumulated in g
+        // order exactly as the scalar reference does. Two bit-exact
+        // skips: (a) glibc exp returns +0.0 for d <= -746 (below the
+        // subnormal floor), so those calls are free to drop; (b) any
+        // term smaller than exp(d2)*2^-58 — d2 the runner-up's delta,
+        // the largest term — is absorbed: at most 8 such terms sum to
+        // < exp(d2)*2^-55, strictly below half an ulp of the
+        // accumulator once the d2 term has been added (and each later
+        // tiny addition is individually absorbed), so the final f64
+        // off is bit-identical with them skipped. Deep losers are the
+        // common case at real coverage (GL rows like -0.0002/-3.3 with
+        // seven clamped losers), so this drops most of the exp() cost.
+        const double cut = (second - mval) - 58.0;
+        double off = 0.0;
         double *gp = gt_prob + i * 10;
         for (int g = 0; g < 10; g++) {
             if (g != mx) {
-                if (ll[g] > second) second = ll[g];
                 const double d = ll[g] - mval;
-                // exp(d) is exactly 0.0 below the subnormal floor
-                // (glibc returns +0 for d <= -746), so skipping the
-                // call is bit-identical; deep losers are common at
-                // real coverage, saving most of the exp() cost
-                if (d > -746.0) off += exp(d);
+                if (d > -746.0 && d >= cut) off += exp(d);
             }
         }
         const double lo1p = log1p(off);
         for (int g = 0; g < 10; g++)
             gp[g] = (ll[g] - mval - lo1p) / LOG10;
+        if (cstyle)
+            // engine._finish_exact's C-style max-entry replacement with
+            // the reference's 1+off absorption (genotype_model.c:
+            // 240-244), hoisted into the parallel range so the caller
+            // skips a serial log() per position
+            gp[mx] = -log(1.0 + off) / LOG10;
         max_gt[i] = mx;
         margin[i] = mval - second;
         off_sum[i] = off;
@@ -196,16 +213,16 @@ void *bsc_model_new(int64_t nq, const double *k, const double *ln_k,
 
 void bsc_model_free(void *h) { delete (GtModel *)h; }
 
-void bsc_model_call(void *h, int64_t n, const int32_t *counts,
-                    const int32_t *quals, const int32_t *ref,
-                    int32_t n_threads, double *gt_prob, int32_t *max_gt,
-                    double *margin, double *off_sum) {
+void bsc_model_call2(void *h, int64_t n, const int32_t *counts,
+                     const int32_t *quals, const int32_t *ref,
+                     int32_t n_threads, int32_t cstyle, double *gt_prob,
+                     int32_t *max_gt, double *margin, double *off_sum) {
     const GtModel *m = (const GtModel *)h;
     int nt = n_threads < 1 ? 1 : n_threads;
     if ((int64_t)nt * 4096 > n) nt = (int)(n / 4096) + 1;
     if (nt <= 1) {
         call_range(m, 0, n, counts, quals, ref, gt_prob, max_gt, margin,
-                   off_sum);
+                   off_sum, cstyle);
         return;
     }
     const int64_t step = (n + nt - 1) / nt;
@@ -214,8 +231,16 @@ void bsc_model_call(void *h, int64_t n, const int32_t *counts,
         const int64_t hi = lo + step < n ? lo + step : n;
         if (lo < hi)
             call_range(m, lo, hi, counts, quals, ref, gt_prob, max_gt,
-                       margin, off_sum);
+                       margin, off_sum, cstyle);
     });
+}
+
+void bsc_model_call(void *h, int64_t n, const int32_t *counts,
+                    const int32_t *quals, const int32_t *ref,
+                    int32_t n_threads, double *gt_prob, int32_t *max_gt,
+                    double *margin, double *off_sum) {
+    bsc_model_call2(h, n, counts, quals, ref, n_threads, 0, gt_prob,
+                    max_gt, margin, off_sum);
 }
 
 }  // extern "C"

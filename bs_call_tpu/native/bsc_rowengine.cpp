@@ -35,6 +35,10 @@ void bsp_block_aggregate(void *h, const int32_t *counts2,
                          const float *qual_sum, const float *mapq2,
                          int32_t *counts8, int32_t *quals8, int32_t *mq,
                          int32_t *aq, int32_t *ntot, int32_t nthreads);
+void bsc_model_call2(void *h, int64_t n, const int32_t *counts,
+                     const int32_t *quals, const int32_t *ref,
+                     int32_t n_threads, int32_t cstyle, double *gt_prob,
+                     int32_t *max_gt, double *margin, double *off_sum);
 void bsc_model_call(void *h, int64_t n, const int32_t *counts,
                     const int32_t *quals, const int32_t *ref,
                     int32_t n_threads, double *gt_prob, int32_t *max_gt,
@@ -262,17 +266,16 @@ int64_t bsre_model(void *h, int32_t slot) {
         s.cr.resize(sz);
         for (int64_t i = 0; i < sz; i++) s.cr[i] = s.refw[i];
         { BSC_PROF_SCOPE("row.model_call");
-        bsc_model_call(e->model, sz, s.counts8.data(), s.quals8.data(),
-                       s.cr.data(), e->n_threads, s.gt_prob.data(),
-                       s.max_gt.data(), s.cmargin.data(),
-                       s.coff.data()); }
-        for (int64_t i = 0; i < sz; i++) {
-            // engine._finish_exact: C-style max-entry replacement with
-            // the reference's 1+off absorption (genotype_model.c:240-244)
-            s.gt_prob[i * 10 + s.max_gt[i]] =
-                -log(1.0 + s.coff[i]) / kLog10;
+        // cstyle=1: the C-style max-entry replacement (reference 1+off
+        // absorption, genotype_model.c:240-244) runs inside the
+        // parallel ranges — the serial log() per position it replaces
+        // was ~0.2s of critical-path wall per 5M positions
+        bsc_model_call2(e->model, sz, s.counts8.data(), s.quals8.data(),
+                        s.cr.data(), e->n_threads, 1, s.gt_prob.data(),
+                        s.max_gt.data(), s.cmargin.data(),
+                        s.coff.data()); }
+        for (int64_t i = 0; i < sz; i++)
             if (s.cmargin[i] < 1e-9) s.ties.push_back(i);
-        }
         return (int64_t)s.ties.size();
     }
     s.gt_prob.assign(sz * 10, 0.0);
@@ -289,18 +292,13 @@ int64_t bsre_model(void *h, int32_t slot) {
     s.cgp.resize(nc * 10);
     s.cmg.resize(nc);
     { BSC_PROF_SCOPE("row.model_call");
-    bsc_model_call(e->model, nc, s.cc.data(), s.cq.data(), s.cr.data(),
-                   e->n_threads, s.cgp.data(), s.cmg.data(),
-                   s.cmargin.data(), s.coff.data()); }
+    bsc_model_call2(e->model, nc, s.cc.data(), s.cq.data(), s.cr.data(),
+                    e->n_threads, 1, s.cgp.data(), s.cmg.data(),
+                    s.cmargin.data(), s.coff.data()); }
     for (int64_t j = 0; j < nc; j++) {
         const int64_t i = s.cov[j];
-        double *gp = &s.gt_prob[i * 10];
-        memcpy(gp, &s.cgp[j * 10], 10 * sizeof(double));
-        const int mx = s.cmg[j];
-        // engine._finish_exact: C-style max-entry replacement with the
-        // reference's 1+off absorption (genotype_model.c:240-244)
-        gp[mx] = -log(1.0 + s.coff[j]) / kLog10;
-        s.max_gt[i] = mx;
+        memcpy(&s.gt_prob[i * 10], &s.cgp[j * 10], 10 * sizeof(double));
+        s.max_gt[i] = s.cmg[j];
         if (s.cmargin[j] < 1e-9) s.ties.push_back(i);
     }
     return (int64_t)s.ties.size();

@@ -266,6 +266,19 @@ def run_sharded(
     if hasattr(reader, "close"):
         reader.close()
     _ensure_bam_index(cfg.input_file)
+    # byte-compile the package so each spawned worker reads .pyc
+    # instead of re-parsing ~30 modules (~70-100 ms per worker when
+    # PYTHONDONTWRITEBYTECODE suppressed the cache); compileall writes
+    # the cache regardless of that flag, and a fresh cache is a no-op
+    try:
+        import compileall
+
+        compileall.compile_dir(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            quiet=2,
+        )
+    except Exception:
+        pass
     shards = partition_contigs(universe, n_shards)
     tmpdir = tempfile.mkdtemp(prefix="bs_call_shards_",
                               dir=_scratch_dir())
