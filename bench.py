@@ -621,9 +621,19 @@ def bench_per_host(n_contigs=4, n_reads=150_000, ctg_len=1_250_000, runs=3):
                 raise RuntimeError(r.stderr[-400:].decode("utf-8", "replace"))
         return go
 
+    # ours_shards runs the DEFAULT --shards path: on small-core hosts
+    # the CLI auto-degrades it to the single-process pipeline (VERDICT
+    # r04 item 4 — sharding must never be a pessimization), so this row
+    # should track ours_single. The genuinely-sharded configuration is
+    # timed separately below as ours_shards_forced to keep the
+    # degradation decision honest in every BENCH file.
+    forced_env = dict(host_env)
+    forced_env["BS_CALL_FORCE_SHARDS"] = "1"
     contestants = [
         ("ours_single", py_run([])),
         ("ours_shards", py_run(["--shards", str(nproc)])),
+        ("ours_shards_forced",
+         py_run(["--shards", str(nproc)], use_env=forced_env)),
     ]
     if binary is not None:
         beds = []

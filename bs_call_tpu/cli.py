@@ -314,28 +314,43 @@ def main(argv=None):
                 file=sys.stderr,
             )
             return 1
-        from bs_call_tpu.parallel.shard_runner import run_sharded
-
-        stats, ctg_stats = run_sharded(
-            cfg,
-            args.shards,
-            cfg.output_file,
-            collect_stats=bool(cfg.report_file),
+        from bs_call_tpu.parallel.shard_runner import (
+            run_sharded,
+            shards_degrade_reason,
         )
-        if cfg.report_file and stats is not None:
-            from types import SimpleNamespace
 
-            from bs_call_tpu.stats.report import write_report
-
-            tbl = SimpleNamespace(
-                contigs=[
-                    SimpleNamespace(name=n, ctg_stats=cs)
-                    for n, cs in ctg_stats
-                ]
+        degrade = shards_degrade_reason(args.shards)
+        if degrade is not None:
+            # --shards must never be a pessimization: same output
+            # bytes either way, so degrading is purely a scheduling
+            # decision (the reference's per-contig workflow is likewise
+            # only worth it on big-core hosts, README.md:73-76); fall
+            # through to the single-process pipeline below
+            print(f"bs_call: --shards {args.shards}: {degrade}",
+                  file=sys.stderr)
+        else:
+            stats, ctg_stats = run_sharded(
+                cfg,
+                args.shards,
+                cfg.output_file,
+                collect_stats=bool(cfg.report_file),
             )
-            with open(cfg.report_file, "w") as f:
-                write_report(f, cfg, stats, tbl, dbsnp=cfg.dbsnp_file)
-        return 0
+            if cfg.report_file and stats is not None:
+                from types import SimpleNamespace
+
+                from bs_call_tpu.stats.report import write_report
+
+                tbl = SimpleNamespace(
+                    contigs=[
+                        SimpleNamespace(name=n, ctg_stats=cs)
+                        for n, cs in ctg_stats
+                    ]
+                )
+                with open(cfg.report_file, "w") as f:
+                    write_report(
+                        f, cfg, stats, tbl, dbsnp=cfg.dbsnp_file
+                    )
+            return 0
     stats = None
     if cfg.report_file:
         from bs_call_tpu.stats.collect import BsStats

@@ -115,6 +115,49 @@ def _scratch_dir() -> Optional[str]:
     return None
 
 
+def shards_degrade_reason(n_shards: int) -> Optional[str]:
+    """Why --shards should auto-degrade to the single-process pipeline
+    on this host, or None when sharding can pay (VERDICT r04 item 4:
+    --shards must never be a pessimization).
+
+    The single-process pipeline already parallelizes every hot section
+    (ingest inflate/classify, pileup, f64 model, row formatting) across
+    the native worker pool plus three pipelined stage threads — on a
+    host with up to ~8 usable cores it saturates the machine by itself
+    (measured: ~5 core-seconds per 600k reads fully overlapped on a
+    4-core host). Worker processes then add only costs: per-worker
+    spawn+import startup (~0.2-0.5 s each), N× native-library loads,
+    whole-file index reads, the concat pass, and end-of-run straggler
+    imbalance (BENCH_r04: 178k reads/s sharded vs 276k single on 4
+    cores). Past ~8 cores the in-process pool's parallel sections cap
+    out (pool ≤ 16 workers, Amdahl on the serial stage glue) and
+    per-contig processes win — the reference's own production workflow
+    (README.md:73-76).
+
+    BS_CALL_FORCE_SHARDS=1 always runs the requested sharding (the
+    escape hatch for measurement and for hosts where the heuristic is
+    wrong)."""
+    from bs_call_tpu.utils import env_flag
+
+    if env_flag("BS_CALL_FORCE_SHARDS"):
+        return None
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cores = os.cpu_count() or 1
+    try:
+        ceil = int(os.environ.get("BS_CALL_SHARD_MIN_CORES", "9"))
+    except ValueError:
+        ceil = 9
+    if cores < ceil:
+        return (
+            f"this host has {cores} usable cores and the in-process "
+            "pipeline already saturates them; running single-process "
+            "(set BS_CALL_FORCE_SHARDS=1 to shard anyway)"
+        )
+    return None
+
+
 def partition_contigs(
     names_lens: List[Tuple[str, int]], n_shards: int
 ) -> List[List[str]]:

@@ -2,6 +2,7 @@
 binary-to-tty guard (parse_args.c:187-213, stats.c:52-54/290-292)."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -133,6 +134,9 @@ def test_shards_dbsnp_report_matches_single(tmp_path):
                 "--report-file", str(rep), "--device", "numpy", *extra,
             ],
             capture_output=True, text=True, timeout=300,
+            # actually shard on small-core test hosts (the CLI
+            # auto-degrades --shards to single-process below 9 cores)
+            env={**os.environ, "BS_CALL_FORCE_SHARDS": "1"},
         )
         assert res.returncode == 0, res.stderr[-2000:]
         doc = json.loads(rep.read_text())

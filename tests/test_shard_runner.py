@@ -2,6 +2,7 @@
 and merged stats as a single-process run (SURVEY §4.3)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -193,3 +194,44 @@ def test_failed_shard_gives_up_after_retry(tmp_path, monkeypatch):
            False, None)
     with _pytest.raises(RuntimeError, match="failed after 1 attempts"):
         _run_jobs_with_retry([job], max_retries=0)
+
+
+def test_shards_auto_degrade_gate(monkeypatch):
+    """--shards must never be a pessimization (VERDICT r04 item 4): on a
+    small-core host the CLI degrades to the single-process pipeline
+    (same bytes), and BS_CALL_FORCE_SHARDS=1 forces real sharding."""
+    from bs_call_tpu.parallel.shard_runner import shards_degrade_reason
+
+    monkeypatch.delenv("BS_CALL_FORCE_SHARDS", raising=False)
+    monkeypatch.setenv("BS_CALL_SHARD_MIN_CORES", "9999")
+    assert shards_degrade_reason(4) is not None
+    monkeypatch.setenv("BS_CALL_SHARD_MIN_CORES", "1")
+    assert shards_degrade_reason(4) is None
+    monkeypatch.setenv("BS_CALL_SHARD_MIN_CORES", "9999")
+    monkeypatch.setenv("BS_CALL_FORCE_SHARDS", "1")
+    assert shards_degrade_reason(4) is None
+
+
+def test_shards_degraded_cli_bytes_match(tmp_path, monkeypatch):
+    """A degraded --shards CLI run produces byte-identical output to a
+    plain single-process run (it IS one), with the note on stderr."""
+    import subprocess
+    import sys
+
+    ref, bam = make_fixture(tmp_path)
+    env = {**os.environ, "BS_CALL_SHARD_MIN_CORES": "9999"}
+    env.pop("BS_CALL_FORCE_SHARDS", None)
+    outs = {}
+    for tag, extra in (("single", []), ("degraded", ["--shards", "4"])):
+        out = tmp_path / f"{tag}.vcf"
+        r = subprocess.run(
+            [sys.executable, "-m", "bs_call_tpu.cli", bam, "-r", ref,
+             "-o", str(out), "--benchmark-mode", "--device", "numpy",
+             *extra],
+            capture_output=True, text=True, timeout=300, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = out.read_bytes()
+        if tag == "degraded":
+            assert "running single-process" in r.stderr
+    assert outs["single"] == outs["degraded"]
