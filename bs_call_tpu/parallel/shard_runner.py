@@ -25,14 +25,28 @@ from typing import List, Optional, Tuple
 from bs_call_tpu.config import CallerConfig
 
 
-def _spawn_executor(n: int):
-    """ProcessPoolExecutor over a spawn context (forking after JAX/TPU
-    backend initialization deadlocks). Children spawn with PYTHONPATH
-    unset and the jax platform pinned to cpu: PYTHONPATH's only
-    interpreter-startup job is sitecustomize (e.g. an accelerator-plugin
-    preimport costing ~0.6s per process that cpu-pinned workers never
-    use), while module RESOLUTION is unaffected — multiprocessing ships
-    the parent's sys.path to spawned children in its preparation data."""
+def _submit_isolated(pending, jobs):
+    """One single-worker spawn executor PER job, all submitted under a
+    scrubbed environment. Returns {job_index: (executor, future)}.
+
+    Why per-job pools: a worker that dies hard (OOM-kill, segfault, the
+    test fault injector's os._exit) breaks its WHOLE
+    ProcessPoolExecutor — sibling futures then raise BrokenProcessPool
+    even when their job never started, so a shared pool miscounts
+    never-run jobs as failed attempts and a 2-crash budget can be
+    consumed by one real crash (observed as a flaky retry test). With
+    one pool per job, a crash is attributable to exactly that job.
+
+    Why the env scrub wraps the SUBMIT loop, not executor creation:
+    ProcessPoolExecutor spawns its worker lazily inside submit(), so
+    restoring os.environ right after the constructor (the previous
+    code) leaked the parent environment to every worker — including a
+    sitecustomize accelerator-plugin dial costing seconds of
+    interpreter boot per worker. PYTHONPATH's only interpreter-startup
+    job is sitecustomize; module RESOLUTION is unaffected because
+    multiprocessing ships the parent's sys.path in its preparation
+    data. Forking instead is not an option (forking after JAX/TPU
+    backend initialization deadlocks), hence spawn."""
     from concurrent.futures import ProcessPoolExecutor
 
     ctx = mp.get_context("spawn")
@@ -41,14 +55,18 @@ def _spawn_executor(n: int):
     }
     os.environ.pop("PYTHONPATH", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
+    out = {}
     try:
-        return ProcessPoolExecutor(max_workers=n, mp_context=ctx)
+        for i in pending:
+            ex = ProcessPoolExecutor(max_workers=1, mp_context=ctx)
+            out[i] = (ex, ex.submit(_worker, jobs[i]))
     finally:
         for k, v in saved.items():
             if v is None:
                 os.environ.pop(k, None)
             else:
                 os.environ[k] = v
+    return out
 
 
 def _run_jobs_with_retry(jobs, max_retries: int = 1):
@@ -58,30 +76,30 @@ def _run_jobs_with_retry(jobs, max_retries: int = 1):
     contig shard is the restart/recovery unit). A worker that dies
     (OOM-kill, segfault) surfaces as BrokenProcessPool from its future;
     a Python-level error surfaces as that future's exception. Either
-    way only the affected shards re-run, in a fresh executor since a
-    broken pool is unusable. Raises the final error when a shard fails
+    way only the affected shards re-run (each job runs in its own
+    single-worker pool, so one crash cannot invalidate siblings — see
+    _submit_isolated). Raises the final error when a shard fails
     max_retries+1 times."""
     from concurrent.futures import BrokenExecutor
 
     results: dict = {}
     pending = list(range(len(jobs)))
     for attempt in range(max_retries + 1):
-        ex = _spawn_executor(len(pending))
-        futures = {i: ex.submit(_worker, jobs[i]) for i in pending}
+        submitted = _submit_isolated(pending, jobs)
         failed = []
         last_err = None
-        for i, fut in futures.items():
+        for i, (ex, fut) in submitted.items():
             try:
                 results[i] = fut.result()
             except Exception as e:  # incl. BrokenExecutor
                 failed.append(i)
                 last_err = e
-        # a broken executor cannot be shut down cleanly on some
-        # platforms; guard the shutdown itself
-        try:
-            ex.shutdown(wait=True, cancel_futures=True)
-        except BrokenExecutor:
-            pass
+            # a broken executor cannot be shut down cleanly on some
+            # platforms; guard the shutdown itself
+            try:
+                ex.shutdown(wait=True, cancel_futures=True)
+            except BrokenExecutor:
+                pass
         if not failed:
             return [results[i] for i in range(len(jobs))]
         if attempt >= max_retries:

@@ -49,7 +49,15 @@ htsFile *hts_open(const char *fn, const char *mode) {
     if (!fp) return NULL;
     if (fp->is_write) {
         int to_stdout = !strcmp(fn, "-");
-        if (fp->is_bin || strchr(mode, 'z')) {
+        if (fp->is_bin && strchr(mode, 'u')) {
+            /* "wbu": uncompressed BCF — htslib writes RAW bytes (its
+             * bgzf handle runs with is_compressed=0), so the stream
+             * starts with the bare "BCF\2\2" magic */
+            fp->fp = to_stdout ? stdout : fopen(fn, "wb");
+            if (!fp->fp) goto fail;
+            fp->format.format = bcf;
+            fp->format.compression = no_compression;
+        } else if (fp->is_bin || strchr(mode, 'z')) {
             fp->is_bgzf = 1;
             fp->bgzf = to_stdout ? bgzf_dopen(1, mode) : bgzf_open(fn, mode);
             if (!fp->bgzf) goto fail;

@@ -156,11 +156,6 @@ static int hts_emit(htsFile *fp, const char *s, size_t l) {
 }
 
 int bcf_hdr_write(htsFile *fp, bcf_hdr_t *h) {
-    if (fp->is_bin) {
-        fprintf(stderr, "[htslib shim] binary BCF output is not "
-                        "supported by the benchmark shim\n");
-        return -1;
-    }
     kstring_t out = {0, 0, NULL};
     kputsn(h->text.s ? h->text.s : "", h->text.l, &out);
     kputs("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO", &out);
@@ -172,7 +167,21 @@ int bcf_hdr_write(htsFile *fp, bcf_hdr_t *h) {
         }
     }
     kputc('\n', &out);
-    int ret = hts_emit(fp, out.s, out.l);
+    int ret;
+    if (fp->is_bin) {
+        /* BCF2.2 header block (htslib bcf_hdr_write): magic, l_text
+         * (including the trailing NUL), text */
+        kputc('\0', &out);
+        kstring_t head = {0, 0, NULL};
+        kputsn("BCF\2\2", 5, &head);
+        uint32_t l_text = (uint32_t)out.l;
+        kputsn_((char *)&l_text, 4, &head);
+        ret = hts_emit(fp, head.s, head.l);
+        if (ret == 0) ret = hts_emit(fp, out.s, out.l);
+        free(head.s);
+    } else {
+        ret = hts_emit(fp, out.s, out.l);
+    }
     free(out.s);
     return ret;
 }
@@ -319,7 +328,28 @@ static void put_quoted_chars(kstring_t *s, const tval_t *t) {
 }
 
 int bcf_write(htsFile *fp, bcf_hdr_t *h, bcf1_t *v) {
-    if (fp->is_bin) return -1; /* guarded at header time */
+    if (fp->is_bin) {
+        /* BCF2.2 record framing (htslib bcf_write core): l_shared
+         * counts the six fixed 32-bit fields plus the shared typed
+         * stream; the streams themselves were already encoded by the
+         * caller through bcf_enc_* above */
+        uint32_t x[8];
+        x[0] = (uint32_t)(v->shared.l + 24);
+        x[1] = (uint32_t)v->indiv.l;
+        x[2] = (uint32_t)v->rid;
+        x[3] = (uint32_t)v->pos;
+        x[4] = (uint32_t)v->rlen;
+        memcpy(&x[5], &v->qual, 4);
+        x[6] = ((uint32_t)v->n_allele << 16) | (uint32_t)v->n_info;
+        x[7] = ((uint32_t)v->n_fmt << 24) | (uint32_t)v->n_sample;
+        if (hts_emit(fp, (const char *)x, 32)) return -1;
+        if (v->shared.l &&
+            hts_emit(fp, v->shared.s, v->shared.l))
+            return -1;
+        if (v->indiv.l && hts_emit(fp, v->indiv.s, v->indiv.l))
+            return -1;
+        return 0;
+    }
     kstring_t out = {0, 0, NULL};
     /* CHROM POS */
     const char *chrom =
