@@ -203,3 +203,107 @@ def test_dbsnp_cross_binary_calls(ref_binary, dbsnp_inputs):
     }
     # rs names actually landed in the output
     assert b"\trs" in outs["c_ours"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-binary BCF (VERDICT r04 item 6): the shim now implements real
+# binary bcf_hdr_write/bcf_write (BCF2.2 framing; the typed streams are
+# encoded by print_vcf.c itself through bcf_enc_*), so -O u/b/z can be
+# validated against the compiled reference instead of an in-repo golden.
+
+
+def test_bcf_u_cross_binary_byte_identity(ref_binary, matrix_fixture):
+    """-O u (uncompressed BCF): whole-file byte identity — magic,
+    l_text, header text, and every BCF2.2 record (framing + typed
+    streams) must match the reference+htslib encoding exactly."""
+    tmp, ref, bam = matrix_fixture
+    _run_c(ref_binary, bam, ref, tmp / "c.bcf", extra=["-O", "u"])
+    _run_py(bam, ref, tmp / "py.bcf", extra=["-O", "u"])
+    c = (tmp / "c.bcf").read_bytes()
+    p = (tmp / "py.bcf").read_bytes()
+    assert c[:5] == b"BCF\x02\x02"
+    assert c == p
+
+
+@pytest.mark.parametrize("otype", ["b", "z"])
+def test_compressed_cross_binary_stream_identity(
+    ref_binary, matrix_fixture, otype
+):
+    """-O b (BGZF BCF) and -O z (bgzip VCF): the DECOMPRESSED streams
+    must be byte-identical (BGZF block framing is writer-dependent, so
+    raw container bytes are not comparable)."""
+    import gzip
+
+    tmp, ref, bam = matrix_fixture
+    _run_c(ref_binary, bam, ref, tmp / f"c.{otype}", extra=["-O", otype])
+    _run_py(bam, ref, tmp / f"py.{otype}", extra=["-O", otype])
+    with gzip.open(tmp / f"c.{otype}") as f:
+        c = f.read()
+    with gzip.open(tmp / f"py.{otype}") as f:
+        p = f.read()
+    assert c == p
+    if otype == "b":
+        assert c[:5] == b"BCF\x02\x02"
+
+
+# ---------------------------------------------------------------------------
+# The reference's multi-contig tail-loss race (found round 5, documented
+# in README.md "Documented divergences"): in a sequential multi-contig
+# run, processing the NEXT contig's first block calls
+# get_sequence_string -> free_sequence(prev_ctg) (get_sequence.c:24,
+# read_reference.c:35-42), which zeroes prev_ctg->end_pos WHILE the
+# printer thread is still draining the previous contig's final block;
+# _print_vcf_entry then silently drops every remaining row through
+# `skip = x > ctg->end_pos` (print_vcf.c:158). Net effect: the final
+# pileup block of every non-final contig is lost. The reference's OWN
+# production per-contig workflow (-C, README.md:73-76) does not hit the
+# race and byte-matches our multi-contig output — so we keep the
+# correct rows rather than reproducing a thread-timing-dependent loss.
+
+
+def _records_by_contig(path):
+    out = {}
+    for line in pathlib.Path(path).read_bytes().split(b"\n"):
+        if not line or line.startswith(b"#"):
+            continue
+        out.setdefault(line.split(b"\t", 1)[0].decode(), []).append(line)
+    return out
+
+
+def test_reference_multicontig_tail_loss_race(ref_binary, tmp_path):
+    sys.path.insert(0, str(REPO))
+    from bs_call_tpu.utils.synth import make_wgbs_fixture
+
+    ref, bam, _n = make_wgbs_fixture(
+        str(tmp_path), 800, 12_000, n_contigs=3
+    )
+    # reference, sequential multi-contig (racy path)
+    _run_c(ref_binary, bam, ref, tmp_path / "c_seq.vcf")
+    # reference, its own production per-contig mode (correct path)
+    per_contig = {}
+    for i in (1, 2, 3):
+        bed = tmp_path / f"chr{i}.bed"
+        bed.write_text(f"chr{i}\t0\t12000\n")
+        _run_c(ref_binary, bam, ref, tmp_path / f"c_chr{i}.vcf",
+               extra=["-C", str(bed)])
+        per_contig.update(_records_by_contig(tmp_path / f"c_chr{i}.vcf"))
+    # ours, multi-contig single process
+    _run_py(bam, ref, tmp_path / "py.vcf")
+    ours = _records_by_contig(tmp_path / "py.vcf")
+    racy = _records_by_contig(tmp_path / "c_seq.vcf")
+
+    # ours == the reference's own per-contig (non-racy) output
+    assert ours == per_contig
+    # the racy run lost a SUFFIX of rows on non-final contigs only
+    assert racy.get("chr3") == ours.get("chr3")
+    lost_any = False
+    for c in ("chr1", "chr2"):
+        n = len(racy.get(c, []))
+        assert racy.get(c, []) == ours[c][:n]  # strict prefix property
+        lost_any = lost_any or n < len(ours[c])
+    # the race is timing-dependent in principle; on every observed run
+    # it fires, but the invariants above are what we guarantee
+    assert lost_any, (
+        "reference did not drop any tail rows this run — race did not "
+        "fire; invariants above still verified"
+    )
