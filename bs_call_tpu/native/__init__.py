@@ -113,6 +113,11 @@ def load():
             ctypes.c_int64,
         ]
         lib.bsp_set_regions.restype = ctypes.c_int
+        lib.bsp_set_stream_regions.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
+        lib.bsp_set_stream_regions.restype = ctypes.c_int
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)

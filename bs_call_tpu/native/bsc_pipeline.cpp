@@ -581,6 +581,36 @@ struct Pipeline {
     int32_t last_region_id = -1;  // sortedness tracking (blocks.py:196)
     int32_t rec_region_id = -1;   // region of the current record
 
+    // stream region mode (any input kind, incl. push-mode CRAM/SAM and
+    // non-seekable/non-indexed BAM): the sequential twin of the indexed
+    // replay — the C++ port of blocks.region_filtered_records: each
+    // record is kept iff it overlaps a region of its contig (first
+    // match; a record spanning two regions passes once). The stream
+    // stays coordinate-sorted after filtering, so no monotonicity
+    // resets are needed (unlike the indexed per-region jumps).
+    struct StreamReg {
+        int64_t start, stop;  // 1-based inclusive (-C semantics)
+    };
+    std::unordered_map<int32_t, std::vector<StreamReg>> stream_regions;
+    bool stream_region_mode = false;
+
+    bool stream_region_pass(const RawRec &rec) const {
+        auto it = stream_regions.find(rec.tid);
+        if (it == stream_regions.end()) return false;
+        int64_t start = (int64_t)rec.pos + 1;
+        int64_t span = 0;
+        for (int i = 0; i < rec.n_cigar; i++) {
+            uint32_t v = rec.cigar[i];
+            uint32_t op = v & 0xF;
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                span += v >> 4;
+        }
+        int64_t end = rec.n_cigar ? (int64_t)rec.pos + span : start;
+        for (const StreamReg &rg : it->second)
+            if (start <= rg.stop && end >= rg.start) return true;
+        return false;
+    }
+
     // 1 = record (rec_region_id set), 0 = end of regions, -2 = corrupt
     int next_region_record(RawRec &rec) {
         for (;;) {
@@ -962,6 +992,10 @@ struct Pipeline {
                 eof = true;
                 return flush_to_block(curr_tid) ? (stage() ? 1 : 0) : 0;
             }
+            // stream -C filter BEFORE classify: records outside every
+            // region never touch filter stats, exactly like the Python
+            // region_filtered_records wrapper (blocks.py:41-68)
+            if (stream_region_mode && !stream_region_pass(rec)) continue;
             Align *al = pending ? pending : new_align();
             pending = nullptr;
             al->clear();
@@ -1768,6 +1802,32 @@ int bsp_next_block(void *h, int64_t *meta) {
 }
 
 // Enable settled-prefix partial staging of open blocks (0 disables).
+// data = [n, (tid, start, stop) * n] with start/stop 1-based inclusive
+// (the -C BED rows after +1 start conversion). Works for every input
+// kind including push mode. Returns 1 on success, 0 on malformed data.
+int bsp_set_stream_regions(void *h, const int64_t *data, int64_t len) {
+    Pipeline *p = (Pipeline *)h;
+    if (len < 1) return 0;
+    int64_t n = data[0];
+    if (n < 0 || 1 + 3 * n != len) return 0;
+    p->stream_regions.clear();
+    const int64_t *q = data + 1;
+    for (int64_t i = 0; i < n; i++, q += 3) {
+        Pipeline::StreamReg rg;
+        rg.start = q[1];
+        rg.stop = q[2];
+        p->stream_regions[(int32_t)q[0]].push_back(rg);
+    }
+    for (auto &kv : p->stream_regions)
+        std::sort(kv.second.begin(), kv.second.end(),
+                  [](const Pipeline::StreamReg &a,
+                     const Pipeline::StreamReg &b) {
+                      return a.start < b.start;
+                  });
+    p->stream_region_mode = true;
+    return 1;
+}
+
 void bsp_set_partial(void *h, int64_t limit) {
     ((Pipeline *)h)->partial_limit = limit;
 }

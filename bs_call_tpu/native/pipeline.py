@@ -116,6 +116,29 @@ class NativePipeline:
             ctypes.c_void_p(self._h), ctypes.c_int64(int(limit))
         )
 
+    def set_stream_regions(self, payload: np.ndarray) -> None:
+        """Enable the sequential -C record filter (the C++ twin of
+        blocks.region_filtered_records) — for input kinds without a
+        seekable index (push-mode CRAM/SAM, non-indexed BAM). payload:
+        int64 [n, (tid, start, stop) * n], start/stop 1-based
+        inclusive."""
+        payload = np.ascontiguousarray(payload, dtype=np.int64)
+        self._stream_regions = payload  # reopen() replays it
+        ok = self._lib.bsp_set_stream_regions(
+            ctypes.c_void_p(self._h),
+            payload.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(len(payload)),
+        )
+        if not ok:
+            raise ValueError("malformed stream region table")
+
+    def _carry_stream_regions(self, p):
+        """Replay the stream -C filter onto a reopened pipeline."""
+        sr = getattr(self, "_stream_regions", None)
+        if sr is not None:
+            p.set_stream_regions(sr)
+        return p
+
     def _collect_block(self) -> dict:
         (tid, x, y, max_pos, n_templates, partial, meth_x) = (
             int(v) for v in self._meta
@@ -240,10 +263,10 @@ class NativePipeline:
         """Fresh pipeline over the same input (used to turn on stats)."""
         path, cfg, tid_keep, threads, regions = self._args
         self.close()
-        return NativePipeline(
+        return self._carry_stream_regions(NativePipeline(
             path, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads, regions=regions,
-        )
+        ))
 
 
 class NativePushPipeline(NativePipeline):
@@ -356,10 +379,10 @@ class NativePushPipeline(NativePipeline):
     def reopen(self, collect_stats: bool) -> "NativePushPipeline":
         factory, header, cfg, tid_keep, threads = self._push_args
         self.close()
-        return NativePushPipeline(
+        return self._carry_stream_regions(NativePushPipeline(
             factory, header, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads,
-        )
+        ))
 
 
 class NativeCramPipeline(NativePushPipeline):
@@ -404,10 +427,10 @@ class NativeCramPipeline(NativePushPipeline):
     def reopen(self, collect_stats: bool) -> "NativeCramPipeline":
         path, cfg, tid_keep, threads, reference = self._cram_args
         self.close()
-        return NativeCramPipeline(
+        return self._carry_stream_regions(NativeCramPipeline(
             path, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads, reference=reference,
-        )
+        ))
 
 
 class NativeSamPipeline(NativePushPipeline):
@@ -457,10 +480,10 @@ class NativeSamPipeline(NativePushPipeline):
     def reopen(self, collect_stats: bool) -> "NativeSamPipeline":
         path, header, cfg, tid_keep, threads = self._sam_args
         self.close()
-        return NativeSamPipeline(
+        return self._carry_stream_regions(NativeSamPipeline(
             path, header, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads,
-        )
+        ))
 
 
 class NativeSamStreamPipeline(NativePushPipeline):

@@ -252,24 +252,48 @@ def _pack_native_regions(cfg, table):
     return np.asarray(out, dtype=np.int64)
 
 
+def _pack_stream_regions(table):
+    """[n, (tid, start, stop) * n] int64, 1-based inclusive — the
+    sequential -C filter table for bsp_set_stream_regions (the C++ twin
+    of blocks.region_filtered_records)."""
+    out = [len(table.regions)]
+    for reg in table.regions:
+        out += [reg.ctg.bam_tid, reg.start, reg.stop]
+    return np.asarray(out, dtype=np.int64)
+
+
 def _try_native(cfg, table, reader=None, collect_stats=False):
-    """The C++ pipeline handles whole-file runs, and — through the
-    indexed region iterator — -C region runs over indexed BAMs,
-    including the whole-contig shard pattern (then it also seeks past
-    other contigs' records instead of scanning them). Partial regions
-    without a .bai/.csi, and partial regions over CRAM/SAM, go through
-    the Python path, which pre-filters the record stream. BAM files
-    stream through the C++ decoder directly; CRAM and SAM decode
+    """The C++ pipeline handles whole-file runs and every -C region
+    kind: indexed BAMs replay regions through BAI/CSI chunk seeks
+    (including the whole-contig shard pattern, where they also seek
+    past other contigs' records); non-indexed BAMs get a .bai built on
+    the fly when the directory is writable; everything else (read-only
+    non-indexed BAM, CRAM, SAM, gz-SAM) runs the C++ sequential stream
+    filter — the same record-overlap semantics, without seeks. BAM
+    files stream through the C++ decoder directly; CRAM and SAM decode
     host-side and feed the same block builder through push mode; stdin
-    BAM pipes forward their decompressed bytes verbatim."""
+    BAM pipes forward their decompressed bytes verbatim (stdin with
+    partial regions stays on the Python pre-filter path)."""
     if cfg.device == "numpy" or not cfg.input_file:
         return None
     partial = bool(table.regions) and not _whole_contig_regions(table)
     regions_payload = None
     if table.regions and cfg.input_file != "-":
         regions_payload = _pack_native_regions(cfg, table)
+        if regions_payload is None and partial:
+            # no .bai/.csi: build one beside the input when possible —
+            # the indexed replay then seeks instead of scanning
+            from bs_call_tpu.parallel.shard_runner import (
+                _ensure_bam_index,
+            )
+
+            _ensure_bam_index(cfg.input_file)
+            regions_payload = _pack_native_regions(cfg, table)
+    stream_regions = None
     if partial and regions_payload is None:
-        return None
+        if cfg.input_file == "-":
+            return None  # Python pre-filter path handles stdin -C
+        stream_regions = _pack_stream_regions(table)
     try:
         from bs_call_tpu.native.pipeline import (
             NativeBamStreamPipeline,
@@ -321,25 +345,29 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
 
         with gzip.open(cfg.input_file, "rb") as f:
             is_bam = f.read(4) == b"BAM\x01"
-    if partial and not is_bam:
-        return None  # indexed region replay is a BAM-file feature
+    def with_regions(p):
+        # sequential -C filter for input kinds with no usable index
+        if stream_regions is not None:
+            p.set_stream_regions(stream_regions)
+        return p
+
     try:
         if is_bam:
-            return NativePipeline(
+            return with_regions(NativePipeline(
                 cfg.input_file, cfg, tid_keep,
                 collect_stats=collect_stats, threads=in_threads,
                 regions=regions_payload,
-            )
+            ))
         if magic == b"CRAM":
             # fully native record path: C++ slice decoder -> C++ builder
             from bs_call_tpu.native.pipeline import NativeCramPipeline
 
             try:
-                return NativeCramPipeline(
+                return with_regions(NativeCramPipeline(
                     cfg.input_file, cfg, tid_keep,
                     collect_stats=collect_stats, threads=in_threads,
                     reference=cfg.reference_file,
-                )
+                ))
             except Exception:
                 pass  # unsupported layout: Python record decode below
         if magic != b"CRAM" and not is_bam and reader is not None:
@@ -347,10 +375,10 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
             from bs_call_tpu.native.pipeline import NativeSamPipeline
 
             try:
-                return NativeSamPipeline(
+                return with_regions(NativeSamPipeline(
                     cfg.input_file, reader.header, cfg, tid_keep,
                     collect_stats=collect_stats, threads=in_threads,
-                )
+                ))
             except Exception:
                 pass  # fall through to the Python record decode
         if magic == b"CRAM" or reader is not None:
@@ -362,10 +390,10 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
                 )
 
             header = (reader or factory()).header
-            return NativePushPipeline(
+            return with_regions(NativePushPipeline(
                 factory, header, cfg, tid_keep,
                 collect_stats=collect_stats, threads=in_threads,
-            )
+            ))
     except (RuntimeError, ValueError, OSError):
         return None
     return None

@@ -5,6 +5,7 @@ transforms: if a backend change breaks the optimization barriers, the
 precision assertions fail."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,7 @@ def test_genotype_dd_matches_f64():
     assert np.abs(gp_d - gp_n).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_engine_dd_device_mode(tmp_path):
     """device='tpu' exact mode routes through the dd kernel and matches
     the f64 engine end-to-end."""

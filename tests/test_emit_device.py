@@ -16,6 +16,8 @@ import pytest
 
 jax = pytest.importorskip("jax")
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp  # noqa: E402
 
 from bs_call_tpu.ops.genotype import ModelParams  # noqa: E402

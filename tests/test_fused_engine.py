@@ -18,9 +18,12 @@ from bs_call_tpu.pipeline.runner import run_caller
 
 from test_native_pipeline import random_bam
 
-pytestmark = pytest.mark.skipif(
-    load() is None, reason="native toolchain unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        load() is None, reason="native toolchain unavailable"
+    ),
+]
 
 
 @pytest.fixture()

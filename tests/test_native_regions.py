@@ -144,11 +144,19 @@ def test_native_pipeline_engages_for_partial_regions(tmp_path):
     npipe = _try_native(cfg, table, reader=reader)
     assert npipe is not None, "indexed BAM + partial -C must be native"
     npipe.close()
-    # without the index the native path must decline (Python pre-filter)
+    # without an index the native path now builds a .bai on the fly
+    # (round-5: every -C input kind runs natively) and still engages
     os.rename(bam + ".bai", bam + ".bai.off")
     try:
-        assert _try_native(cfg, table, reader=reader) is None
+        npipe = _try_native(cfg, table, reader=reader)
+        assert npipe is not None, (
+            "non-indexed BAM + partial -C must engage natively "
+            "(on-the-fly .bai or stream filter)"
+        )
+        npipe.close()
+        assert os.path.exists(bam + ".bai")  # the on-the-fly index
     finally:
+        os.unlink(bam + ".bai")
         os.rename(bam + ".bai.off", bam + ".bai")
 
 
@@ -197,3 +205,118 @@ def test_spanning_record_quirk_parity(tmp_path):
     vp, rp = _run(bam, str(ref), str(bed), "numpy")
     assert vn == vp
     assert rn == rp
+
+
+_CODE2BASE = "NACGT"
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+def _rec_fields(rec):
+    seq = "".join(_CODE2BASE[c] for c in rec.seq_code)
+    qual = np.asarray(rec.qual, dtype=np.uint8)
+    return seq, qual
+
+
+def _to_cram(bam, ref, out):
+    from bs_call_tpu.io.bam import BamReader
+    from bs_call_tpu.io.cram_writer import CramWriter
+
+    rd = BamReader(bam)
+    w = CramWriter(out, rd.header, reference=ref)
+    for rec in rd:
+        seq, qual = _rec_fields(rec)
+        w.write(rec.name, rec.flag, rec.tid, rec.pos, rec.mapq,
+                rec.cigar, rec.mtid, rec.mpos, rec.isize, seq, qual)
+    w.close()
+
+
+def _to_sam(bam, out):
+    from bs_call_tpu.io.bam import BamReader
+
+    rd = BamReader(bam)
+    names = rd.header.ref_names
+    with open(out, "w") as f:
+        f.write(rd.header.text)
+        for rec in rd:
+            seq, qual = _rec_fields(rec)
+            cig = "".join(
+                f"{ln}{_CIGAR_OPS[op]}" for ln, op in rec.cigar
+            ) or "*"
+            rnext = (
+                "*" if rec.mtid < 0
+                else "=" if rec.mtid == rec.tid
+                else names[rec.mtid]
+            )
+            f.write("\t".join([
+                rec.name, str(rec.flag), names[rec.tid],
+                str(rec.pos + 1), str(rec.mapq), cig, rnext,
+                str(rec.mpos + 1), str(rec.isize), seq,
+                "".join(chr(q + 33) for q in qual),
+            ]) + "\n")
+
+
+def test_partial_regions_native_cram_matches_bam(tmp_path):
+    """-C over CRAM runs the native pipeline through the C++ stream
+    region filter (round-5: no Python pre-filter path left for CRAM);
+    output and report must byte-match the indexed-BAM run."""
+    from bs_call_tpu.io.fasta import FastaIndex
+    from bs_call_tpu.io.sam import open_alignment_file
+    from bs_call_tpu.pipeline.contigs import reconcile_contigs
+
+    ref, bam, _ = make_fixture(tmp_path)
+    write_bai(bam)
+    bed = tmp_path / "r.bed"
+    bed.write_text(BED)
+    v_bam, r_bam = _run(bam, ref, str(bed), "auto")
+    cram = str(tmp_path / "in.cram")
+    _to_cram(bam, ref, cram)
+    # the native path must actually engage for CRAM -C now
+    cfg = CallerConfig(
+        input_file=cram, reference_file=ref, benchmark_mode=True,
+        contig_bed=str(bed), device="auto",
+    )
+    reader = open_alignment_file(cram, reference=ref)
+    table = reconcile_contigs(
+        FastaIndex(ref), reader.header, contig_bed=str(bed)
+    )
+    npipe = _try_native(cfg, table, reader=reader)
+    assert npipe is not None, "CRAM + partial -C must engage natively"
+    npipe.close()
+    v_cram, r_cram = _run(cram, ref, str(bed), "auto")
+    assert v_cram == v_bam
+    assert r_cram == r_bam
+
+
+def test_partial_regions_native_sam_matches_bam(tmp_path):
+    """-C over SAM text runs natively through the stream filter."""
+    ref, bam, _ = make_fixture(tmp_path)
+    write_bai(bam)
+    bed = tmp_path / "r.bed"
+    bed.write_text(BED)
+    v_bam, _ = _run(bam, ref, str(bed), "auto")
+    sam = str(tmp_path / "in.sam")
+    _to_sam(bam, sam)
+    v_sam, _ = _run(sam, ref, str(bed), "auto")
+    assert v_sam == v_bam
+
+
+def test_partial_regions_stream_filter_matches_python(tmp_path, monkeypatch):
+    """Force the stream filter (no index, index build disabled by a
+    read-only-style override) and compare against the Python
+    pre-filter path (device=numpy)."""
+    import bs_call_tpu.pipeline.runner as runner_mod
+
+    ref, bam, _ = make_fixture(tmp_path, seed=23)
+    bed = tmp_path / "r.bed"
+    bed.write_text(BED)
+    v_py, r_py = _run(bam, ref, str(bed), "numpy")
+    # disable the on-the-fly index build so the stream filter engages
+    monkeypatch.setattr(
+        "bs_call_tpu.parallel.shard_runner._ensure_bam_index",
+        lambda path: None,
+    )
+    assert not os.path.exists(bam + ".bai")
+    v_native, r_native = _run(bam, ref, str(bed), "auto")
+    assert not os.path.exists(bam + ".bai")  # build really was disabled
+    assert v_native == v_py
+    assert r_native == r_py
