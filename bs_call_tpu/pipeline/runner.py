@@ -458,6 +458,10 @@ def process_contig_blocks_native(
         and ve._bcf is None
         and getattr(emitter, "dbsnp", None) is None
         and cfg.exact
+        # partial -C windows gate emission per site (print_vcf.c:156);
+        # bsre_emit has no region gate, so those runs must take the
+        # _emit_block_soa path whose emitters apply ctg.regions
+        and (not table.regions or _whole_contig_regions(table))
         and not engine.wants_reads()
         and not engine._prefer_xla_f64()
     ):

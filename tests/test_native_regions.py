@@ -320,3 +320,25 @@ def test_partial_regions_stream_filter_matches_python(tmp_path, monkeypatch):
     assert not os.path.exists(bam + ".bai")  # build really was disabled
     assert v_native == v_py
     assert r_native == r_py
+
+
+def test_rowengine_disabled_for_partial_regions(tmp_path, monkeypatch):
+    """Round-5 regression: on a single-device host (the production
+    configuration — the 8-virtual-device test mesh disables the
+    rowengine via _prefer_xla_f64 and masked this) the native row
+    engine used to emit covered positions OUTSIDE the -C windows,
+    because bsre_emit has no region gate. Partial-region runs must now
+    bypass the rowengine and byte-match the Python path."""
+    from bs_call_tpu.pipeline.engine import CallEngine
+
+    monkeypatch.setattr(
+        CallEngine, "_prefer_xla_f64", lambda self: False
+    )
+    ref, bam, _ = make_fixture(tmp_path, seed=31)
+    write_bai(bam)
+    bed = tmp_path / "r.bed"
+    bed.write_text(BED)
+    vn, rn = _run(bam, ref, str(bed), "auto")
+    vp, rp = _run(bam, ref, str(bed), "numpy")
+    assert vn == vp
+    assert rn == rp

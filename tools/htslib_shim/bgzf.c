@@ -359,6 +359,38 @@ int bgzf_getc(BGZF *fp) {
     return n == 1 ? (int)c : (n == 0 ? -1 : -2);
 }
 
+/* Seek to an htslib VIRTUAL offset (coffset<<16 | uoffset) on a
+ * compressed read handle — the primitive behind region iterators. A
+ * running multithreaded readahead is torn down, the target block is
+ * loaded single-threaded, and readahead restarts from the following
+ * block so post-seek streaming keeps its decompression parallelism. */
+int bgzf_seek_virtual(BGZF *fp, uint64_t voff) {
+    if (fp->is_write || fp->is_plain) return -1;
+    int threads = fp->n_threads;
+    if (threads) mt_shutdown(fp);
+    fp->head = fp->tail = fp->next_work = 0;
+    fp->shutting_down = 0;
+    fp->n_pending = fp->pend_pos = 0;
+    fp->at_eof = 0;
+    off_t coff = (off_t)(voff >> 16);
+    int uoff = (int)(voff & 0xffff);
+    if (fseeko(fp->fp, coff, SEEK_SET)) return -1;
+    fp->ulen = fp->upos = 0;
+    int ulen = 0;
+    {
+        uint8_t cdata[BGZF_MAX_CDATA];
+        int clen = read_member(fp, cdata);
+        if (clen < 0) return -1;
+        if (clen > 0) ulen = inflate_member(cdata, clen, fp->ublock);
+        if (ulen < 0) return -1;
+    }
+    fp->ulen = ulen;
+    fp->upos = uoff > ulen ? ulen : uoff;
+    if (ulen == 0) fp->at_eof = 1;
+    if (threads) bgzf_mt(fp, threads, 64);
+    return 0;
+}
+
 int bgzf_useek(BGZF *fp, off_t uoffset, int whence) {
     if (fp->is_plain && !fp->n_threads) {
         fp->n_pending = fp->pend_pos = 0; /* discard sniffed bytes */

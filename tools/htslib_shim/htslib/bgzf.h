@@ -30,6 +30,9 @@ int bgzf_flush(BGZF *fp);
  * seeks used by faidx; only supported on plain files and on BGZF files
  * opened with a preloaded block index). */
 int bgzf_useek(BGZF *fp, off_t uoffset, int whence);
+/* Seek to an htslib virtual offset (coffset<<16 | uoffset); read side
+ * of compressed files only. */
+int bgzf_seek_virtual(BGZF *fp, uint64_t voff);
 int bgzf_mt(BGZF *fp, int n_threads, int n_sub_blks);
 /* Nonzero when the underlying file is BGZF-compressed. */
 int bgzf_compression(BGZF *fp);
