@@ -68,7 +68,14 @@ def test_csi_nondefault_shift_depth(tmp_path):
     idx.close()
 
 
-def test_region_run_with_csi_only(tmp_path):
+def test_region_run_with_csi_only(tmp_path, monkeypatch):
+    # keep the first pass genuinely index-free: round 5 auto-builds a
+    # .bai for partial -C over non-indexed BAMs, which would turn the
+    # "linear" arm into an indexed run
+    monkeypatch.setattr(
+        "bs_call_tpu.parallel.shard_runner._ensure_bam_index",
+        lambda path: None,
+    )
     bam = make_bam(tmp_path, n=500, ctg_len=50000)
     ctg_len = 50000
     rng = np.random.default_rng(0)
