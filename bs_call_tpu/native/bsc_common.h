@@ -10,6 +10,9 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
 #include <functional>
 #include <string>
 #include <thread>
@@ -130,40 +133,48 @@ inline void inflate_bgzf_block(const CompBlock &b, uint8_t *dst) {
 }
 #endif
 
+// Linear BGZF input with a background prefetch thread: while the
+// consumer (the ingest/producer thread) classifies and builds blocks
+// out of batch k, the prefetch thread reads and pool-inflates batch
+// k+1 into a bounded queue — taking decompression off the producer's
+// critical path (measured ~0.57 s of caller wall per 94 MB BAM, the
+// largest single slice of the ingest stage). The reference gets the
+// same overlap from htslib's bgzf_mt reader/worker threads
+// (process.c:151).
 class BgzfStream {
   public:
     explicit BgzfStream(FILE *f, int nthreads)
         : f_(f), nthreads_(nthreads > 0 ? nthreads : 1) {}
 
+    ~BgzfStream() {
+        if (started_) {
+            {
+                std::lock_guard<std::mutex> lk(mu_);
+                stop_ = true;
+            }
+            cv_space_.notify_all();
+            th_.join();
+        }
+    }
+
     size_t fill(std::vector<uint8_t> &out, size_t want) {
+        if (!started_) {
+            started_ = true;
+            th_ = std::thread([this]() { prefetch_loop(); });
+        }
         size_t added = 0;
         while (added < want) {
-            std::vector<CompBlock> blocks;
-            for (int i = 0; i < 64; i++) {
-                CompBlock b;
-                if (!read_block(b)) { eof_ = true; break; }
-                blocks.push_back(std::move(b));
+            std::vector<uint8_t> batch;
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                cv_data_.wait(lk, [&] { return !q_.empty() || done_; });
+                if (q_.empty()) { eof_ = true; break; }
+                batch = std::move(q_.front());
+                q_.pop_front();
             }
-            if (blocks.empty()) break;
-            std::vector<size_t> offs(blocks.size() + 1);
-            offs[0] = out.size();
-            for (size_t i = 0; i < blocks.size(); i++)
-                offs[i + 1] = offs[i] + blocks[i].isize;
-            out.resize(offs.back());
-            size_t nb = blocks.size();
-            unsigned nt = std::min<size_t>(nthreads_, nb);
-            BSC_PROF_SCOPE("inflate.batch");
-            if (nt <= 1) {
-                for (size_t i = 0; i < nb; i++)
-                    inflate_block(blocks[i], out.data() + offs[i]);
-            } else {
-                uint8_t *base = out.data();
-                pool_run((int)nb, [&](int i) {
-                    inflate_block(blocks[i], base + offs[i]);
-                });
-            }
-            added += offs.back() - offs[0];
-            if (eof_) break;
+            cv_space_.notify_one();
+            out.insert(out.end(), batch.begin(), batch.end());
+            added += batch.size();
         }
         return added;
     }
@@ -171,15 +182,67 @@ class BgzfStream {
     bool eof() const { return eof_; }
 
   private:
-    bool read_block(CompBlock &b) { return read_bgzf_block(f_, b, nullptr); }
-
-    static void inflate_block(const CompBlock &b, uint8_t *dst) {
-        inflate_bgzf_block(b, dst);
+    void prefetch_loop() {
+        for (;;) {
+            std::vector<CompBlock> blocks;
+            bool end = false;
+            for (int i = 0; i < 64; i++) {
+                CompBlock b;
+                if (!read_bgzf_block(f_, b, nullptr)) { end = true; break; }
+                blocks.push_back(std::move(b));
+            }
+            std::vector<uint8_t> batch;
+            if (!blocks.empty()) {
+                std::vector<size_t> offs(blocks.size() + 1);
+                offs[0] = 0;
+                for (size_t i = 0; i < blocks.size(); i++)
+                    offs[i + 1] = offs[i] + blocks[i].isize;
+                batch.resize(offs.back());
+                size_t nb = blocks.size();
+                BSC_PROF_SCOPE("inflate.batch");
+                if (std::min<size_t>(nthreads_, nb) <= 1) {
+                    for (size_t i = 0; i < nb; i++)
+                        inflate_bgzf_block(blocks[i],
+                                           batch.data() + offs[i]);
+                } else {
+                    uint8_t *base = batch.data();
+                    pool_run((int)nb, [&](int i) {
+                        inflate_bgzf_block(blocks[i], base + offs[i]);
+                    });
+                }
+            }
+            {
+                std::unique_lock<std::mutex> lk(mu_);
+                if (!batch.empty()) {
+                    cv_space_.wait(lk, [&] {
+                        return q_.size() < kDepth || stop_;
+                    });
+                    if (stop_) return;
+                    q_.push_back(std::move(batch));
+                }
+                if (end) done_ = true;
+            }
+            cv_data_.notify_one();
+            if (end) return;
+            {
+                std::lock_guard<std::mutex> lk(mu_);
+                if (stop_) return;
+            }
+        }
     }
+
+    static constexpr size_t kDepth = 3;  // ~4 MB per queued batch
 
     FILE *f_;
     size_t nthreads_;
     bool eof_ = false;
+    bool started_ = false;
+    std::thread th_;
+    std::mutex mu_;
+    std::condition_variable cv_data_, cv_space_;
+    std::deque<std::vector<uint8_t>> q_;
+    bool done_ = false;
+    bool stop_ = false;
 };
 
 struct Reader {
