@@ -365,3 +365,24 @@ def test_multi_region_divergence_pinned(ref_binary, matrix_fixture):
     in_w2 = [r for r in ours if int(r.split(b"\t")[1]) > 11000]
     assert theirs == in_w1  # reference == ours restricted to window 1
     assert len(in_w2) > 100  # we really do call the second window
+
+
+def test_bcf_u_with_dbsnp_cross_binary(ref_binary, dbsnp_inputs):
+    """-O u + -D: the BCF typed-stream encoding of dbSNP rs IDs
+    (including the odd-digit trailing-NUL quirk inside a BCF CHAR
+    vector) must be byte-identical to the reference."""
+    tmp, ref, bam, bed = dbsnp_inputs
+    idx_bin = _ref_idx_binary(ref_binary)
+    idx = tmp / "bcfdb.idx"
+    subprocess.run(
+        [str(idx_bin), "-o", str(idx), str(bed)],
+        check=True, capture_output=True,
+    )
+    _run_c(ref_binary, bam, ref, tmp / "c_db.bcf",
+           extra=["-D", str(idx), "-O", "u"])
+    _run_py(bam, ref, tmp / "py_db.bcf",
+            extra=["-D", str(idx), "-O", "u"])
+    c = (tmp / "c_db.bcf").read_bytes()
+    p = (tmp / "py_db.bcf").read_bytes()
+    assert c == p
+    assert b"rs" in c  # rs names actually present in the stream
