@@ -146,15 +146,27 @@ class BgzfStream {
     explicit BgzfStream(FILE *f, int nthreads)
         : f_(f), nthreads_(nthreads > 0 ? nthreads : 1) {}
 
-    ~BgzfStream() {
-        if (started_) {
-            {
-                std::lock_guard<std::mutex> lk(mu_);
-                stop_ = true;
-            }
-            cv_space_.notify_all();
-            th_.join();
+    ~BgzfStream() { stop(); }
+
+    // Tear down the prefetch thread and discard queued batches. MUST
+    // be called before any out-of-band seek on the underlying FILE*
+    // (indexed chunk mode): the prefetch thread and a seeking reader
+    // otherwise interleave freads on the same stream and corrupt the
+    // block sequence (observed as crashed shard workers on inputs big
+    // enough that prefetch was still active when open_chunk ran —
+    // small test files reached EOF first and masked it).
+    void stop() {
+        if (!started_) return;
+        {
+            std::lock_guard<std::mutex> lk(mu_);
+            stop_ = true;
         }
+        cv_space_.notify_all();
+        th_.join();
+        started_ = false;
+        stop_ = false;
+        q_.clear();
+        done_ = false;
     }
 
     size_t fill(std::vector<uint8_t> &out, size_t want) {
@@ -288,6 +300,9 @@ struct Reader {
     // next ensure() calls serve exactly the uncompressed bytes of
     // [vbeg, vend) (chunk boundaries delimit whole records, SAM spec).
     bool open_chunk(uint64_t vbeg, uint64_t vend) {
+        // the linear stream's prefetch thread must not touch the FILE*
+        // once chunk mode starts seeking it
+        if (stream) stream->stop();
         buf.clear();
         pos = 0;
         chunk_mode = true;

@@ -342,3 +342,29 @@ def test_rowengine_disabled_for_partial_regions(tmp_path, monkeypatch):
     vp, rp = _run(bam, ref, str(bed), "numpy")
     assert vn == vp
     assert rn == rp
+
+
+def test_prefetch_vs_chunk_seek_race(tmp_path):
+    """Round-5 regression: the linear stream's background inflate
+    prefetch thread must be stopped before indexed chunk mode seeks the
+    same FILE* (open_chunk). The race only manifests when the input is
+    large enough that prefetch is still running after the header read —
+    small fixtures hit EOF first and mask it (observed as all four
+    bench shard workers crashing on the 94 MB fixture). This fixture is
+    sized past the prefetch queue (3 batches x 64 BGZF blocks)."""
+    from bs_call_tpu.io.bai import write_bai as _wb
+    from bs_call_tpu.utils.synth import make_wgbs_fixture
+
+    ref, bam, _n = make_wgbs_fixture(
+        str(tmp_path), 30000, 200_000, seed=3, n_contigs=2
+    )
+    import os as _os
+
+    assert _os.path.getsize(bam) > 3 * 64 * 20_000  # beyond the queue
+    _wb(bam)
+    bed = tmp_path / "w.bed"
+    bed.write_text("chr2\t0\t200000\n")
+    vn, rn = _run(bam, ref, str(bed), "auto")
+    vp, rp = _run(bam, ref, str(bed), "numpy")
+    assert vn == vp
+    assert rn == rp
