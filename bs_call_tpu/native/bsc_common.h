@@ -170,6 +170,15 @@ class BgzfStream {
     }
 
     size_t fill(std::vector<uint8_t> &out, size_t want) {
+        if (eof_) return 0;
+        if (!started_ && !first_done_) {
+            // the first fill is the header read: serve it synchronously
+            // so indexed-region readers (which switch to chunk mode
+            // right after) never spin up a prefetch thread whose
+            // readahead would be thrown away
+            first_done_ = true;
+            return fill_sync(out, want);
+        }
         if (!started_) {
             started_ = true;
             th_ = std::thread([this]() { prefetch_loop(); });
@@ -194,6 +203,41 @@ class BgzfStream {
     bool eof() const { return eof_; }
 
   private:
+    size_t fill_sync(std::vector<uint8_t> &out, size_t want) {
+        size_t added = 0;
+        while (added < want) {
+            std::vector<CompBlock> blocks;
+            for (int i = 0; i < 64; i++) {
+                CompBlock b;
+                if (!read_bgzf_block(f_, b, nullptr)) {
+                    eof_ = true;
+                    break;
+                }
+                blocks.push_back(std::move(b));
+            }
+            if (blocks.empty()) break;
+            std::vector<size_t> offs(blocks.size() + 1);
+            offs[0] = out.size();
+            for (size_t i = 0; i < blocks.size(); i++)
+                offs[i + 1] = offs[i] + blocks[i].isize;
+            out.resize(offs.back());
+            size_t nb = blocks.size();
+            BSC_PROF_SCOPE("inflate.batch");
+            if (std::min<size_t>(nthreads_, nb) <= 1) {
+                for (size_t i = 0; i < nb; i++)
+                    inflate_bgzf_block(blocks[i], out.data() + offs[i]);
+            } else {
+                uint8_t *base = out.data();
+                pool_run((int)nb, [&](int i) {
+                    inflate_bgzf_block(blocks[i], base + offs[i]);
+                });
+            }
+            added += offs.back() - offs[0];
+            if (eof_) break;
+        }
+        return added;
+    }
+
     void prefetch_loop() {
         for (;;) {
             std::vector<CompBlock> blocks;
@@ -249,6 +293,7 @@ class BgzfStream {
     size_t nthreads_;
     bool eof_ = false;
     bool started_ = false;
+    bool first_done_ = false;
     std::thread th_;
     std::mutex mu_;
     std::condition_variable cv_data_, cv_space_;
