@@ -291,8 +291,6 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
             regions_payload = _pack_native_regions(cfg, table)
     stream_regions = None
     if partial and regions_payload is None:
-        if cfg.input_file == "-":
-            return None  # Python pre-filter path handles stdin -C
         stream_regions = _pack_stream_regions(table)
     try:
         from bs_call_tpu.native.pipeline import (
@@ -306,29 +304,37 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
     from bs_call_tpu.ops.genotype_native import _n_threads
 
     in_threads = min(cfg.input_threads or cfg.threads, _n_threads())
+
+    def with_regions(p):
+        # sequential -C filter for input kinds with no usable index
+        if stream_regions is not None:
+            p.set_stream_regions(stream_regions)
+        return p
+
     if cfg.input_file == "-":
         # stdin: forward the already-positioned stream (past the header)
         # to the native parser — BAM bytes verbatim, SAM text via the
-        # C++ sam_mode line parser
+        # C++ sam_mode line parser; partial -C runs through the C++
+        # stream region filter like any other unindexed input
         from bs_call_tpu.io.bam import BamReader
         from bs_call_tpu.io.sam import SamReader
 
         try:
             if isinstance(reader, BamReader):
-                return NativeBamStreamPipeline(
+                return with_regions(NativeBamStreamPipeline(
                     reader._f, reader.header, cfg, tid_keep,
                     collect_stats=collect_stats, threads=in_threads,
-                )
+                ))
             if isinstance(reader, SamReader) and reader.header.ref_names:
                 from bs_call_tpu.native.pipeline import (
                     NativeSamStreamPipeline,
                 )
 
-                return NativeSamStreamPipeline(
+                return with_regions(NativeSamStreamPipeline(
                     reader._f, reader._pending, reader.header, cfg,
                     tid_keep, collect_stats=collect_stats,
                     threads=in_threads,
-                )
+                ))
         except (RuntimeError, ValueError, OSError):
             return None
         return None
@@ -345,12 +351,6 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
 
         with gzip.open(cfg.input_file, "rb") as f:
             is_bam = f.read(4) == b"BAM\x01"
-    def with_regions(p):
-        # sequential -C filter for input kinds with no usable index
-        if stream_regions is not None:
-            p.set_stream_regions(stream_regions)
-        return p
-
     try:
         if is_bam:
             return with_regions(NativePipeline(

@@ -368,3 +368,32 @@ def test_prefetch_vs_chunk_seek_race(tmp_path):
     vp, rp = _run(bam, ref, str(bed), "numpy")
     assert vn == vp
     assert rn == rp
+
+
+def test_partial_regions_stdin_bam_native(tmp_path, monkeypatch):
+    """stdin BAM + partial -C: round-5 closes the last Python
+    pre-filter path — the stream region filter runs in C++ for piped
+    input too, byte-matching the file-based run."""
+    import subprocess
+    import sys
+
+    ref, bam, _ = make_fixture(tmp_path, seed=41)
+    write_bai(bam)
+    bed = tmp_path / "r.bed"
+    bed.write_text(BED)
+    v_file, _ = _run(bam, ref, str(bed), "auto")
+    env = {**os.environ, "PYTHONPATH": os.pathsep.join(
+        p for p in (
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            os.environ.get("PYTHONPATH"),
+        ) if p
+    )}
+    with open(bam, "rb") as f:
+        r = subprocess.run(
+            [sys.executable, "-m", "bs_call_tpu.cli", "-", "-r", ref,
+             "-o", str(tmp_path / "stdin.vcf"), "--benchmark-mode",
+             "-C", str(bed)],
+            stdin=f, capture_output=True, timeout=300, env=env,
+        )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert (tmp_path / "stdin.vcf").read_bytes() == v_file
