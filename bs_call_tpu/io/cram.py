@@ -467,7 +467,13 @@ class CramReader:
 
     # ---- containers ----
 
-    def _read_container(self):
+    def _read_container(self, skip_if=None):
+        """Parse the next container. skip_if(meta), when given, is
+        consulted BEFORE any block is decompressed: a skipped
+        container's payload is jumped over whole — the region-query
+        fast path (what htslib reaches via the .crai; our reader holds
+        the file in memory, so the container header's own
+        ref/start/span fields carry the same information)."""
         buf = self._raw
         off = self._off
         if off >= len(buf):
@@ -486,17 +492,21 @@ class CramReader:
             _, off = read_itf8(buf, off)
         off += 4  # crc
         payload_end = off + length
-        blocks = []
-        while off < payload_end and len(blocks) < n_blocks:
-            b, off = _read_block(buf, off)
-            blocks.append(b)
-        self._off = payload_end
         meta = {
             "ref_id": ref_id,
             "start": start,
             "span": span,
             "n_records": n_records,
         }
+        if skip_if is not None and n_records > 0 and skip_if(meta):
+            self._off = payload_end
+            meta["skipped"] = True
+            return [], meta
+        blocks = []
+        while off < payload_end and len(blocks) < n_blocks:
+            b, off = _read_block(buf, off)
+            blocks.append(b)
+        self._off = payload_end
         return blocks, meta
 
     def _mref_table(self, tids):
@@ -596,12 +606,22 @@ class CramReader:
                 continue
             yield from self._decode_container(blocks, meta)
 
-    def iter_record_blobs(self):
+    def iter_record_blobs(self, regions=None):
         """Yield (blob, tid) per slice, where blob is this slice's records
         serialized in the raw BAM record layout ([u32 size][body])* —
         decoded by the native C++ slice decoder (bsc_cram.cpp). The hot
         per-record codec/feature loop never touches Python; blobs feed
         the push-mode block builder directly.
+
+        regions ({tid: [(start, stop)], 1-based inclusive}), when
+        given, prunes at the container AND slice level using the spec's
+        own ref/start/span header fields (the same information a .crai
+        carries): non-overlapping containers skip decompression
+        entirely and non-overlapping slices skip decoding. Record-level
+        filtering stays the caller's job (the C++ stream region
+        filter) — the pruning here is purely a fast path, exact per the
+        spec's span semantics. Multi-ref containers/slices (ref_id -2)
+        and spanless headers are never pruned.
 
         Multi-ref slices (ref_id -2, per-record RI) decode natively via
         a two-pass per-tid reference table. Raises RuntimeError when the
@@ -615,13 +635,33 @@ class CramReader:
         lib = _load()
         if lib is None:
             raise RuntimeError("native library unavailable")
+
+        def outside(tid, start, span):
+            # True only when [start, start+span-1] provably overlaps no
+            # requested window of tid
+            if regions is None or tid < 0 or span <= 0:
+                return False
+            regs = regions.get(tid)
+            if not regs:
+                return True  # contig has no requested window at all
+            end = start + span - 1
+            return not any(start <= stop and end >= beg
+                           for beg, stop in regs)
+
+        def skip_container(meta):
+            return outside(meta["ref_id"], meta["start"], meta["span"])
+
         out_cap = 1 << 20
         out = ctypes.create_string_buffer(out_cap)
         while True:
-            got = self._read_container()
+            got = self._read_container(
+                skip_if=skip_container if regions is not None else None
+            )
             if got is None or got[0] is None:
                 return
             blocks, meta = got
+            if meta.get("skipped"):
+                continue
             if meta["n_records"] == 0:
                 if meta["ref_id"] == -1 and not blocks:
                     return
@@ -636,10 +676,13 @@ class CramReader:
                 off = 0
                 s_ref, off = read_itf8(sh, off)
                 s_start, off = read_itf8(sh, off)
-                _span, off = read_itf8(sh, off)
+                s_span, off = read_itf8(sh, off)
                 s_nrec, off = read_itf8(sh, off)
                 _cnt, off = read_ltf8(sh, off)
                 s_nblocks, off = read_itf8(sh, off)
+                if outside(s_ref, s_start, s_span):
+                    i += 1 + s_nblocks  # slice outside every window
+                    continue
                 core = b""
                 ids, datas = [], []
                 for b in blocks[i + 1 : i + 1 + s_nblocks]:

@@ -394,16 +394,24 @@ class NativeCramPipeline(NativePushPipeline):
 
     def __init__(self, path: str, cfg: CallerConfig, tid_keep: np.ndarray,
                  collect_stats: bool = False, threads: int = 4,
-                 reference=None):
+                 reference=None, region_windows=None):
+        """region_windows ({tid: [(start, stop)]}, 1-based inclusive):
+        container/slice pruning hint for -C runs — non-overlapping
+        containers skip decompression and decoding entirely (the .crai
+        fast path, served from the spec's own container header fields);
+        record-level filtering still happens in the C++ stream region
+        filter."""
         from bs_call_tpu.io.cram import CramReader
 
         rdr = CramReader(path, reference=reference)
-        self._cram_args = (path, cfg, tid_keep, threads, reference)
+        self._cram_args = (
+            path, cfg, tid_keep, threads, reference, region_windows
+        )
         NativePushPipeline.__init__(
             self, lambda: iter(()), rdr.header, cfg, tid_keep,
             collect_stats=collect_stats, threads=threads,
         )
-        self._blobs = rdr.iter_record_blobs()
+        self._blobs = rdr.iter_record_blobs(regions=region_windows)
         # probe: decode the first slice now so unsupported layouts fail
         # at construction (the caller falls back to the Python decoder)
         self._pending_blob = next(self._blobs, None)
@@ -425,11 +433,13 @@ class NativeCramPipeline(NativePushPipeline):
         return True
 
     def reopen(self, collect_stats: bool) -> "NativeCramPipeline":
-        path, cfg, tid_keep, threads, reference = self._cram_args
+        (path, cfg, tid_keep, threads, reference,
+         region_windows) = self._cram_args
         self.close()
         return self._carry_stream_regions(NativeCramPipeline(
             path, cfg, tid_keep, collect_stats=collect_stats,
             threads=threads, reference=reference,
+            region_windows=region_windows,
         ))
 
 

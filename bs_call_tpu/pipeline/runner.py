@@ -362,11 +362,22 @@ def _try_native(cfg, table, reader=None, collect_stats=False):
             # fully native record path: C++ slice decoder -> C++ builder
             from bs_call_tpu.native.pipeline import NativeCramPipeline
 
+            windows = None
+            if table.regions:
+                # container/slice pruning for -C: skip decoding data
+                # provably outside every window (record-level filtering
+                # still runs in the C++ stream filter / tid_keep)
+                windows = {}
+                for reg in table.regions:
+                    windows.setdefault(reg.ctg.bam_tid, []).append(
+                        (reg.start, reg.stop)
+                    )
             try:
                 return with_regions(NativeCramPipeline(
                     cfg.input_file, cfg, tid_keep,
                     collect_stats=collect_stats, threads=in_threads,
                     reference=cfg.reference_file,
+                    region_windows=windows,
                 ))
             except Exception:
                 pass  # unsupported layout: Python record decode below

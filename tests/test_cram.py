@@ -336,3 +336,48 @@ def test_cram_multiref_end_to_end_matches_bam(tmp_path):
         run_caller(cfg, out_fileobj=out)
         outs.append(out.getvalue())
     assert outs[0] == outs[1]
+
+
+def test_iter_record_blobs_region_pruning(tmp_path):
+    """Container/slice pruning via the spec's header span fields (the
+    .crai fast path): restricting to a window must skip out-of-window
+    slices while keeping EVERY record that overlaps the window."""
+    import struct as _struct
+
+    ref, hdr, recs = make_dataset(tmp_path, 0)
+    cram = tmp_path / "prune.cram"
+    w = CramWriter(str(cram), hdr, reference=ref)
+    w.SLICE_RECORDS = 64  # many small slices so pruning has targets
+    for r in recs:
+        w.write(*r)
+    w.close()
+    from bs_call_tpu.io.cram import CramReader
+
+    def names_of(blobs):
+        out = set()
+        for blob, _tid in blobs:
+            off = 0
+            while off < len(blob):
+                (sz,) = _struct.unpack_from("<I", blob, off)
+                body = blob[off + 4 : off + 4 + sz]
+                l_name = body[8]
+                out.add(body[32 : 32 + l_name - 1].decode())
+                off += 4 + sz
+        return out
+
+    full = list(CramReader(str(cram), reference=ref).iter_record_blobs())
+    beg, stop = 1000, 1800
+    pruned = list(
+        CramReader(str(cram), reference=ref).iter_record_blobs(
+            regions={0: [(beg, stop)]}
+        )
+    )
+    assert len(pruned) < len(full)  # pruning really skipped slices
+    want = set()
+    for r in recs:
+        pos = r[3]  # 0-based
+        span = sum(ln for ln, op in r[5] if op in (0, 2, 3, 7, 8)) or 1
+        if pos + 1 <= stop and pos + span >= beg:
+            want.add(r[0])
+    got = names_of(pruned)
+    assert want <= got  # nothing overlapping the window was dropped
