@@ -386,3 +386,34 @@ def test_bcf_u_with_dbsnp_cross_binary(ref_binary, dbsnp_inputs):
     p = (tmp / "py_db.bcf").read_bytes()
     assert c == p
     assert b"rs" in c  # rs names actually present in the stream
+
+
+def test_contig_sizes_uniform_header_cross_binary(ref_binary, tmp_path):
+    """-C one contig + -s listing the full universe: the VCF header must
+    carry ##contig lines for EVERY -s contig (the uniform-header
+    contract that makes sharded outputs concat-compatible,
+    process_sam_header.c:52-70) — byte-identical to the reference."""
+    sys.path.insert(0, str(REPO))
+    from bs_call_tpu.io.bai import write_bai
+    from bs_call_tpu.utils.synth import make_wgbs_fixture
+
+    ref, bam, _n = make_wgbs_fixture(
+        str(tmp_path), 600, 8000, seed=9, n_contigs=3
+    )
+    write_bai(bam)
+    sizes = tmp_path / "sizes.txt"
+    sizes.write_text("chr1\t8000\nchr2\t8000\nchr3\t8000\n")
+    bed = tmp_path / "one.bed"
+    bed.write_text("chr2\t0\t8000\n")
+    _run_c(ref_binary, bam, ref, tmp_path / "c.vcf",
+           extra=["-C", str(bed), "-s", str(sizes)])
+    _run_py(bam, ref, tmp_path / "py.vcf",
+            extra=["-C", str(bed), "-s", str(sizes)])
+    c = (tmp_path / "c.vcf").read_bytes()
+    p = (tmp_path / "py.vcf").read_bytes()
+    assert c == p
+    for name in (b"chr1", b"chr2", b"chr3"):
+        assert b"##contig=<ID=" + name in c  # full -s universe present
+    # records only for the called contig
+    assert c.count(b"\nchr2\t") > 50
+    assert c.count(b"\nchr1\t") == 0 and c.count(b"\nchr3\t") == 0
