@@ -417,3 +417,25 @@ def test_contig_sizes_uniform_header_cross_binary(ref_binary, tmp_path):
     # records only for the called contig
     assert c.count(b"\nchr2\t") > 50
     assert c.count(b"\nchr1\t") == 0 and c.count(b"\nchr3\t") == 0
+
+
+def test_report_identity_with_dbsnp(ref_binary, dbsnp_inputs):
+    """-D + --report-file: the dbSNP report sections (dbSNPSites /
+    dbSNPVariantSites in totalStats AND per-contig) must match the
+    compiled reference, alongside the rest of the report."""
+    tmp, ref, bam, bed = dbsnp_inputs
+    idx_bin = _ref_idx_binary(ref_binary)
+    idx = tmp / "repdb.idx"
+    subprocess.run(
+        [str(idx_bin), "-o", str(idx), str(bed)],
+        check=True, capture_output=True,
+    )
+    _run_c(ref_binary, bam, ref, tmp / "crd.vcf",
+           ["-D", str(idx), "--report-file", str(tmp / "crd.json")])
+    _run_py(bam, ref, tmp / "prd.vcf",
+            ["-D", str(idx), "--report-file", str(tmp / "prd.json")])
+    assert (tmp / "crd.vcf").read_bytes() == (tmp / "prd.vcf").read_bytes()
+    c = _strip_known_divergences((tmp / "crd.json").read_text())
+    p = _strip_known_divergences((tmp / "prd.json").read_text())
+    assert c == p
+    assert c["totalStats"]["dbSNPSites"]["All"] > 0
